@@ -1,0 +1,15 @@
+"""Code construction: 5G NR base graphs, QC lifting, edge layouts."""
+
+from ldpc_tpu.codes.base_graphs import (  # noqa: F401
+    BaseGraph,
+    available_base_graphs,
+    expand_base_matrix,
+    get_base_graph,
+    load_base_matrix,
+)
+from ldpc_tpu.codes.edge_layout import (  # noqa: F401
+    EdgeLayout,
+    QCLayout,
+    edge_layout_from_H,
+    qc_layout,
+)

@@ -1,0 +1,144 @@
+"""Classical LDPC decoders: sum-product BP and scaled min-sum.
+
+Capability parity with the reference ``models/traditional_decoders.py``
+(`BeliefPropagationDecoder`:4-134, `MinSumScaledDecoder`:137-285), redesigned
+for XLA: a fixed-iteration `lax.scan` over the QC message-passing ops with
+per-frame convergence tracked in the carry instead of Python-side early
+stopping (fixed shapes; identical decisions and iteration statistics).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ldpc_tpu.codes.edge_layout import QCLayout
+from ldpc_tpu.ops import qc_msg
+from ldpc_tpu.ops.qc_msg import QCPlan
+
+Array = jax.Array
+
+
+class DecodeResult(NamedTuple):
+    """Result of a batched decode.
+
+    bits: (B, n) hard decisions — for early-stopped frames, the bits at the
+        first iteration whose syndrome was zero (reference semantics:
+        `traditional_decoders.py:104-108` returns at first validity).
+    beliefs: (B, n) final a-posteriori LLRs (positive -> bit 0).
+    conv_iter: (B,) int32, 1-based first iteration with a valid syndrome, or
+        ``max_iterations`` when the frame never converged — the per-frame
+        generalization of the reference's batch-global iteration count.
+    converged: (B,) bool.
+    """
+
+    bits: Array
+    beliefs: Array
+    conv_iter: Array
+    converged: Array
+
+
+class _Carry(NamedTuple):
+    c2v: Array
+    frozen_bits: Array
+    conv_iter: Array
+
+
+def _decode_scan(llr, plan: QCPlan, max_iterations: int, check_update):
+    """Shared BP/min-sum decode loop."""
+    B = llr.shape[0]
+    llr_cz = qc_msg.llr_to_cz(llr, plan)
+
+    def step(carry: _Carry, t):
+        v2c, _ = qc_msg.var_update(carry.c2v, llr_cz, plan)
+        c2v = check_update(v2c, plan)
+        beliefs = llr_cz + qc_msg.col_sum(c2v, plan)
+        bits = (beliefs < 0).astype(jnp.float32)
+        ok = qc_msg.syndrome_ok(bits, plan)
+        newly = ok & (carry.conv_iter == 0)
+        frozen = jnp.where(newly[None, None, :], bits, carry.frozen_bits)
+        conv = jnp.where(newly, t + 1, carry.conv_iter)
+        return _Carry(c2v, frozen, conv), beliefs
+
+    init = _Carry(
+        c2v=jnp.zeros((plan.K, plan.Z, B), jnp.float32),
+        frozen_bits=jnp.zeros((plan.C, plan.Z, B), jnp.float32),
+        conv_iter=jnp.zeros((B,), jnp.int32),
+    )
+    carry, beliefs_all = jax.lax.scan(step, init, jnp.arange(max_iterations))
+    final_beliefs = beliefs_all[-1]
+    final_bits = (final_beliefs < 0).astype(jnp.float32)
+    converged = carry.conv_iter > 0
+    bits = jnp.where(converged[None, None, :], carry.frozen_bits, final_bits)
+    conv_iter = jnp.where(converged, carry.conv_iter, max_iterations)
+    return DecodeResult(
+        bits=qc_msg.cz_to_llr(bits),
+        beliefs=qc_msg.cz_to_llr(final_beliefs),
+        conv_iter=conv_iter,
+        converged=converged,
+    )
+
+
+@partial(jax.jit, static_argnames=("max_iterations",))
+def decode_min_sum(llr: Array, plan: QCPlan, max_iterations: int = 50, scaling_factor=0.75) -> DecodeResult:
+    """Scaled min-sum decode of (B, n) channel LLRs."""
+    return _decode_scan(
+        llr, plan, max_iterations, partial(qc_msg.check_update_minsum, alpha=scaling_factor)
+    )
+
+
+@partial(jax.jit, static_argnames=("max_iterations",))
+def decode_bp(llr: Array, plan: QCPlan, max_iterations: int = 50) -> DecodeResult:
+    """Sum-product belief-propagation decode of (B, n) channel LLRs."""
+    return _decode_scan(llr, plan, max_iterations, qc_msg.check_update_sumproduct)
+
+
+@dataclasses.dataclass(frozen=True)
+class BeliefPropagationDecoder:
+    """Object-style wrapper (API parity with the reference class).
+
+    ``decode(llr) -> (bits, iterations)`` mirrors
+    `traditional_decoders.py:42-109`; ``iterations`` is the batch maximum of
+    per-frame convergence iterations (the reference stops when *all* frames
+    are valid, so its count equals this maximum).
+    """
+
+    qc: QCLayout
+    max_iterations: int = 50
+    early_stopping: bool = True
+
+    def __post_init__(self):
+        object.__setattr__(self, "_plan", qc_msg.make_plan(self.qc))
+
+    def decode_full(self, llr: Array) -> DecodeResult:
+        return decode_bp(llr, self._plan, self.max_iterations)
+
+    def decode(self, llr: Array):
+        res = self.decode_full(llr)
+        iters = int(res.conv_iter.max()) if self.early_stopping else self.max_iterations
+        return res.bits, iters
+
+
+@dataclasses.dataclass(frozen=True)
+class MinSumScaledDecoder:
+    """Object-style wrapper for scaled min-sum (reference
+    `traditional_decoders.py:137-285`)."""
+
+    qc: QCLayout
+    max_iterations: int = 50
+    scaling_factor: float = 0.75
+    early_stopping: bool = True
+
+    def __post_init__(self):
+        object.__setattr__(self, "_plan", qc_msg.make_plan(self.qc))
+
+    def decode_full(self, llr: Array) -> DecodeResult:
+        return decode_min_sum(llr, self._plan, self.max_iterations, self.scaling_factor)
+
+    def decode(self, llr: Array):
+        res = self.decode_full(llr)
+        iters = int(res.conv_iter.max()) if self.early_stopping else self.max_iterations
+        return res.bits, iters
