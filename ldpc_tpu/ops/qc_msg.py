@@ -34,7 +34,12 @@ from ldpc_tpu.codes.edge_layout import QCLayout
 
 Array = jax.Array
 
-_BIG = 1e30  # stand-in for +inf that stays finite under 0 * x
+# Stand-in for +inf.  Deliberately moderate: XLA's fusion may reassociate
+# `where`-masked products in the backward pass, so sentinel values must stay
+# far from the float32 overflow boundary even when multiplied together
+# (1e30 * 1e30 -> inf -> 0*inf = NaN under fused gradients; 1e9^2 = 1e18 is
+# safe).  Real message magnitudes are bounded by ~1e4.
+_BIG = 1e9
 
 
 @partial(
@@ -179,8 +184,10 @@ def check_update_minsum(v2c_var: Array, plan: QCPlan, alpha=1.0) -> Array:
 
     loo_sign = total_sign * sign  # sign in {-1, +1}: multiply == divide
     loo_mag = jnp.where(slot == i1, m2, m1)
+    # Mask BEFORE the multiply: no sentinel-scale value may enter a product,
+    # or fused backward passes can manufacture inf*0 = NaN.
+    loo_mag = jnp.where(valid & (loo_mag < _BIG), loo_mag, 0.0)
     c2v = alpha * loo_sign * loo_mag
-    c2v = jnp.where(valid & (loo_mag < _BIG), c2v, 0.0)
     return ungroup_to_var(c2v, plan)
 
 

@@ -1,0 +1,204 @@
+"""Training and Monte-Carlo evaluation for neural LDPC decoders.
+
+Capability parity with the reference ``training/trainer.py``
+(`LDPCDecoderTrainer`:21-364): SGD(momentum, weight-decay) over SNR-mixed
+random-bit batches through a QPSK/AWGN channel, periodic validation,
+all-zero-codeword BER/FER evaluation over an SNR range, history tracking and
+checkpointing — redesigned as a thin stateful wrapper around jitted pure
+functions (one compiled train step reused across all epochs and SNRs; the
+reference re-traces per-batch Python channel loops every step).
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+
+from ldpc_tpu.ops.qc_msg import QCPlan
+from ldpc_tpu.utils import channel as ch
+
+Array = jax.Array
+
+
+class LDPCDecoderTrainer:
+    """Trainer for any decoder model with the ``(llr, plan, gt) -> (soft, loss)``
+    call signature (NeuralMinSumDecoder, MessageGNNDecoder, ...)."""
+
+    def __init__(
+        self,
+        model,
+        plan: QCPlan,
+        seed: int = 0,
+        convention: str = "consistent",
+        modulation: str = "qpsk",
+    ):
+        self.model = model
+        self.plan = plan
+        self.convention = convention
+        self.modulation = modulation
+        self.n = plan.C * plan.Z
+        key = jax.random.PRNGKey(seed)
+        self.init_key, self.data_key = jax.random.split(key)
+        dummy = jnp.zeros((2, self.n))
+        self.params = model.init(self.init_key, dummy, plan)
+        # Training history (payload parity with reference trainer.py:39-43)
+        self.train_losses: list[float] = []
+        self.val_losses: list[float] = []
+        self.ber_history: list[float] = []
+        self.fer_history: list[float] = []
+        self._tx = None  # jitted train step, built in train()
+
+    # -- channel helper ----------------------------------------------------
+
+    def _channel(self, key: Array, bits: Array, snr_db) -> Array:
+        if self.modulation == "qpsk":
+            return ch.qpsk_awgn_llr(key, bits, snr_db, self.convention)
+        return ch.bpsk_awgn_llr(key, bits, snr_db)
+
+    # -- training ----------------------------------------------------------
+
+    def train(
+        self,
+        num_epochs: int,
+        batch_size: int,
+        learning_rate: float,
+        snr_range=None,
+        momentum: float = 0.9,
+        weight_decay: float = 1e-4,
+        validation_interval: int = 5,
+        log: Callable[[str], None] | None = None,
+    ) -> dict[str, Any]:
+        """SNR-mixed training loop (defaults mirror main.py:33-42)."""
+        if snr_range is None:
+            snr_range = [-2.0, 0.0, 2.0, 4.0]
+        snr_range = [float(s) for s in snr_range]
+        tx = optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.sgd(learning_rate, momentum=momentum),
+        )
+        opt_state = tx.init(self.params)
+
+        @jax.jit
+        def train_step(params, opt_state, key, snr_db):
+            kb, kc = jax.random.split(key)
+            bits = jax.random.bernoulli(kb, 0.5, (batch_size, self.n)).astype(jnp.float32)
+            llr = self._channel(kc, bits, snr_db)
+
+            def loss_fn(p):
+                _, loss = self.model.apply(p, llr, self.plan, bits)
+                return loss.mean()
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        for epoch in range(num_epochs):
+            epoch_loss, nb = 0.0, 0
+            for snr_db in snr_range:
+                self.data_key, sub = jax.random.split(self.data_key)
+                self.params, opt_state, loss = train_step(
+                    self.params, opt_state, sub, jnp.float32(snr_db)
+                )
+                epoch_loss += float(loss)
+                nb += 1
+            self.train_losses.append(epoch_loss / nb)
+            if log:
+                log(f"epoch {epoch + 1}/{num_epochs} loss {epoch_loss / nb:.6f}")
+            if (epoch + 1) % validation_interval == 0:
+                vl, ber, fer = self.validate(batch_size, snr_range)
+                self.val_losses.append(vl)
+                self.ber_history.append(ber)
+                self.fer_history.append(fer)
+                if log:
+                    log(f"  val loss {vl:.6f} ber {ber:.6f} fer {fer:.6f}")
+        return self.history()
+
+    def validate(self, batch_size: int, snr_range) -> tuple[float, float, float]:
+        """Random-bit validation across SNRs (reference trainer.py:142-200)."""
+        total_l = total_ber = total_fer = 0.0
+        for i, snr_db in enumerate(snr_range):
+            key = jax.random.fold_in(jax.random.PRNGKey(1234), i)
+            kb, kc = jax.random.split(key)
+            bits = jax.random.bernoulli(kb, 0.5, (batch_size, self.n)).astype(jnp.float32)
+            llr = self._channel(kc, bits, snr_db)
+            soft, loss = self.model.apply(self.params, llr, self.plan, bits)
+            hard = (soft > 0.5).astype(jnp.float32)
+            ber, fer = ch.compute_ber_fer(bits, hard)
+            total_l += float(loss.mean())
+            total_ber += float(ber)
+            total_fer += float(fer)
+        k = len(snr_range)
+        return total_l / k, total_ber / k, total_fer / k
+
+    # -- Monte-Carlo evaluation --------------------------------------------
+
+    def evaluate_snr_range(
+        self, snr_range, batch_size: int, num_trials: int, seed: int = 4321
+    ) -> tuple[list[float], list[float]]:
+        """All-zero-codeword MC sweep (reference trainer.py:202-262).
+
+        Deterministic per-(snr, trial) key derivation: results are a pure
+        function of (seed, snr index, trial index) — the property multi-chip
+        sharding relies on (SURVEY.md §7 hard part 5).
+        """
+
+        @jax.jit
+        def trial(params, key, snr_db):
+            bits = jnp.zeros((batch_size, self.n))
+            llr = self._channel(key, bits, snr_db)
+            soft, _ = self.model.apply(params, llr, self.plan)
+            hard = (soft > 0.5).astype(jnp.float32)
+            return ch.error_counts(bits, hard)
+
+        bers, fers = [], []
+        base = jax.random.PRNGKey(seed)
+        for i, snr_db in enumerate(snr_range):
+            be = fe = nb = nf = 0.0
+            for t in range(num_trials):
+                key = jax.random.fold_in(jax.random.fold_in(base, i), t)
+                b, f, tb, tf = trial(self.params, key, jnp.float32(snr_db))
+                be += float(b)
+                fe += float(f)
+                nb += float(tb)
+                nf += float(tf)
+            bers.append(be / nb)
+            fers.append(fe / nf)
+        return bers, fers
+
+    # -- persistence -------------------------------------------------------
+
+    def history(self) -> dict[str, Any]:
+        return {
+            "train_losses": self.train_losses,
+            "val_losses": self.val_losses,
+            "ber_history": self.ber_history,
+            "fer_history": self.fer_history,
+        }
+
+    def save_model(self, path: str | Path) -> None:
+        """Checkpoint params + history (payload parity with trainer.py:337-350)."""
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        payload = {
+            "params": serialization.to_state_dict(self.params),
+            "history": {k: np.asarray(v, dtype=np.float64) for k, v in self.history().items()},
+        }
+        path.write_bytes(serialization.msgpack_serialize(payload))
+
+    def load_model(self, path: str | Path) -> None:
+        payload = serialization.msgpack_restore(Path(path).read_bytes())
+        self.params = serialization.from_state_dict(self.params, payload["params"])
+        hist = payload.get("history", {})
+        self.train_losses = list(np.asarray(hist.get("train_losses", [])))
+        self.val_losses = list(np.asarray(hist.get("val_losses", [])))
+        self.ber_history = list(np.asarray(hist.get("ber_history", [])))
+        self.fer_history = list(np.asarray(hist.get("fer_history", [])))
+
+    def save_history_json(self, path: str | Path) -> None:
+        Path(path).write_text(json.dumps(self.history(), indent=2))
