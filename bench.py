@@ -1,0 +1,101 @@
+"""Headline benchmark: decoded bits/s/chip, min-sum + message-GNN, 20 iterations.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "details"}.
+
+Baseline (vs_baseline denominator): the reference PyTorch
+``MinSumScaledDecoder`` (`models/traditional_decoders.py:137-285`) measured
+on NR_2_0_32 (Z=32), batch 32 (its own eval protocol batch,
+`comparative_evaluation.py:42`), 20 iterations, no early stop, CPU:
+666.43 bits/s (79.9 s per batch; measured 2026-08-17 on this machine —
+the reference publishes no numbers, BASELINE.md).
+"""
+from __future__ import annotations
+
+import json
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+REF_BITS_PER_S = 666.43
+
+CODE = "nr_2_0_32"
+Z = 32
+ITERS = 20
+MINSUM_BATCH = 4096
+GNN_BATCH = 512
+GNN_HIDDEN = 64
+
+
+def main() -> None:
+    from ldpc_tpu.codes import get_base_graph, qc_layout
+    from ldpc_tpu.models.classical import decode_min_sum
+    from ldpc_tpu.models.message_gnn import create_message_gnn_decoder
+    from ldpc_tpu.ops import qc_msg
+    from ldpc_tpu.utils import bpsk_awgn_llr
+
+    plan = qc_msg.make_plan(qc_layout(get_base_graph(CODE), Z))
+    n = plan.C * plan.Z
+
+    # --- min-sum ---------------------------------------------------------
+    @partial(jax.jit, static_argnames=("B",))
+    def minsum_pipe(key, B):
+        llr = bpsk_awgn_llr(key, jnp.zeros((B, n)), 3.0)
+        res = decode_min_sum(llr, plan, ITERS, 0.75)
+        return res.bits.sum(), res.conv_iter.astype(jnp.float32).mean()
+
+    def time_fn(fn, reps=10):
+        outs = [fn(i) for i in range(2)]  # warmup (compile + steady)
+        jax.tree_util.tree_map(lambda x: x.block_until_ready(), outs[-1])
+        t0 = time.time()
+        outs = [fn(100 + i) for i in range(reps)]
+        jax.tree_util.tree_map(lambda x: x.block_until_ready(), outs[-1])
+        return (time.time() - t0) / reps, outs[-1]
+
+    dt_ms, (err_ms, iters_ms) = time_fn(
+        lambda i: minsum_pipe(jax.random.PRNGKey(i), MINSUM_BATCH)
+    )
+    minsum_bps = MINSUM_BATCH * n / dt_ms
+
+    # --- message GNN -----------------------------------------------------
+    model = create_message_gnn_decoder(plan, num_iterations=ITERS, hidden_dim=GNN_HIDDEN)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, n)), plan)
+
+    @partial(jax.jit, static_argnames=("B",))
+    def gnn_pipe(params, key, B):
+        llr = bpsk_awgn_llr(key, jnp.zeros((B, n)), 3.0)
+        soft, _ = model.apply(params, llr, plan)
+        return (soft > 0.5).astype(jnp.float32).sum()
+
+    dt_gnn, _ = time_fn(lambda i: gnn_pipe(params, jax.random.PRNGKey(i), GNN_BATCH), reps=5)
+    gnn_bps = GNN_BATCH * n / dt_gnn
+
+    print(
+        json.dumps(
+            {
+                "metric": "minsum_decoded_bits_per_s_per_chip",
+                "value": round(minsum_bps, 1),
+                "unit": "bits/s",
+                "vs_baseline": round(minsum_bps / REF_BITS_PER_S, 1),
+                "details": {
+                    "code": CODE,
+                    "Z": Z,
+                    "iterations": ITERS,
+                    "minsum_batch": MINSUM_BATCH,
+                    "minsum_ms_per_batch": round(dt_ms * 1e3, 2),
+                    "minsum_bit_errors_at_3db": float(err_ms),
+                    "minsum_mean_conv_iters": round(float(iters_ms), 2),
+                    "msg_gnn_bits_per_s": round(gnn_bps, 1),
+                    "msg_gnn_hidden": GNN_HIDDEN,
+                    "msg_gnn_batch": GNN_BATCH,
+                    "baseline_bits_per_s": REF_BITS_PER_S,
+                    "backend": jax.default_backend(),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -44,7 +44,15 @@ _BIG = 1e9
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["edge_col", "edge_type", "row_gather_var", "ungroup_to_var", "row_valid", "col_incidence"],
+    data_fields=[
+        "edge_col",
+        "edge_type",
+        "row_gather_var",
+        "ungroup_to_var",
+        "row_valid",
+        "col_incidence",
+        "edge_check_var_aligned",
+    ],
     meta_fields=["Z", "R", "C", "K", "dr_max", "num_edge_types"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -67,11 +75,16 @@ class QCPlan:
     ungroup_to_var: Array  # (K*Z,) flat
     row_valid: Array  # (R, dr_max) bool
     col_incidence: Array  # (C, K) f32
+    edge_check_var_aligned: Array  # (K*Z,) flat idx into (R*Z): my check node
 
 
 def make_plan(qc: QCLayout) -> QCPlan:
+    # Check index of the var-aligned edge (k, z_c): (edge_row, (z_c - s) % Z).
+    Z = qc.Z
+    zc = np.arange(Z)[None, :]
+    chk = qc.edge_row[:, None] * Z + (zc - qc.edge_shift[:, None]) % Z
     return QCPlan(
-        Z=qc.Z,
+        Z=Z,
         R=qc.num_base_rows,
         C=qc.num_base_cols,
         K=qc.num_base_edges,
@@ -83,6 +96,7 @@ def make_plan(qc: QCLayout) -> QCPlan:
         ungroup_to_var=jnp.asarray(qc.ungroup_to_var.reshape(-1)),
         row_valid=jnp.asarray(qc.row_edges != qc.num_base_edges),
         col_incidence=jnp.asarray(qc.col_incidence),
+        edge_check_var_aligned=jnp.asarray(chk.reshape(-1).astype(np.int32)),
     )
 
 
@@ -234,6 +248,44 @@ def syndrome_ok(bits_cz: Array, plan: QCPlan) -> Array:
     grouped = group_to_check(bits_edge, plan, pad_value=0.0)
     parity = jnp.sum(grouped, axis=1) % 2.0  # (R, Z, B)
     return jnp.all(parity == 0.0, axis=(0, 1))
+
+
+# ---------------------------------------------------------------------------
+# Feature-space group aggregations (message-GNN support)
+# ---------------------------------------------------------------------------
+#
+# The reference message-GNN aggregates over dense E x E normalized adjacency
+# matrices D^(-1/2)(A+I)D^(-1/2) (`message_gnn_decoder.py:410-469`).  Because
+# the same-variable (resp. same-check) graph is a disjoint union of cliques
+# and every message in the clique of variable v has identical degree d_v,
+# that normalized aggregation is *exactly the within-group mean* — see
+# tests/test_message_gnn.py::TestAdjacencyEquivalence for the numerical
+# proof.  Group means are O(E*H) segment ops here instead of O(E^2*H) dense
+# bmm (40M-entry adjacency at E=6304, SURVEY.md §7 hard part 6).
+
+
+def var_group_mean(feats: Array, plan: QCPlan) -> Array:
+    """Mean over messages sharing my variable: (K, Z, B, H) -> (K, Z, B, H)."""
+    K, Z, B, H = feats.shape
+    sums = jnp.matmul(
+        plan.col_incidence, feats.reshape(K, Z * B * H), preferred_element_type=jnp.float32
+    ).reshape(plan.C, Z, B, H)
+    counts = plan.col_incidence.sum(axis=1)[:, None, None, None]
+    mean = sums / jnp.maximum(counts, 1.0)
+    return mean[plan.edge_col]
+
+
+def check_group_mean(feats: Array, plan: QCPlan) -> Array:
+    """Mean over messages sharing my check: (K, Z, B, H) -> (K, Z, B, H)."""
+    K, Z, B, H = feats.shape
+    padded = jnp.concatenate(
+        [feats.reshape(K * Z, B * H), jnp.zeros((1, B * H), feats.dtype)], axis=0
+    )
+    grouped = padded[plan.row_gather_var].reshape(plan.R, plan.dr_max, Z, B * H)
+    counts = plan.row_valid.sum(axis=1).astype(feats.dtype)[:, None, None]
+    rowmean = grouped.sum(axis=1) / jnp.maximum(counts, 1.0)  # (R, Z, B*H)
+    out = rowmean.reshape(plan.R * Z, B * H)[plan.edge_check_var_aligned]
+    return out.reshape(K, Z, B, H)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,179 @@
+"""Message-GNN tests: normalized-adjacency equivalence, all hybrid modes,
+training, decoding."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ldpc_tpu.codes import expand_base_matrix, get_base_graph, qc_layout
+from ldpc_tpu.models.message_gnn import (
+    MessageGNNDecoder,
+    create_custom_check_message_gnn_decoder,
+    create_custom_minsum_message_gnn_decoder,
+    create_custom_variable_message_gnn_decoder,
+    create_message_gnn_decoder,
+)
+from ldpc_tpu.ops import qc_msg
+from ldpc_tpu.training import LDPCDecoderTrainer
+from ldpc_tpu.utils import channel as ch
+
+
+@pytest.fixture(scope="module")
+def setup():
+    bg = get_base_graph("toy_4x8")
+    Z = 4
+    qc = qc_layout(bg, Z)
+    return bg, Z, qc, expand_base_matrix(bg, Z), qc_msg.make_plan(qc)
+
+
+def _dense_normalized_adjacency(groups_of_edge):
+    """Reference construction (message_gnn_decoder.py:410-469): clique over
+    same-group messages, + identity, D^(-1/2) A D^(-1/2)."""
+    E = len(groups_of_edge)
+    A = np.zeros((E, E))
+    for i in range(E):
+        for j in range(E):
+            if i != j and groups_of_edge[i] == groups_of_edge[j]:
+                A[i, j] = 1.0
+    A = A + np.eye(E)
+    d = A.sum(axis=1)
+    dinv = np.diag(d**-0.5)
+    return dinv @ A @ dinv
+
+
+class TestAdjacencyEquivalence:
+    """The QC group-mean aggregation must equal the reference's dense
+    D^(-1/2)(A+I)D^(-1/2) aggregation exactly (SURVEY.md §7 hard part 6)."""
+
+    @pytest.mark.parametrize("relation", ["var", "check"])
+    def test_group_mean_equals_normalized_adjacency(self, setup, relation, rng):
+        bg, Z, qc, H, plan = setup
+        K = qc.num_base_edges
+        H_feat = 3
+        feats = rng.normal(size=(K, Z, 1, H_feat)).astype(np.float32)
+
+        if relation == "var":
+            got = qc_msg.var_group_mean(jnp.asarray(feats), plan)
+        else:
+            got = qc_msg.check_group_mean(jnp.asarray(feats), plan)
+
+        # Flatten QC layout -> edge list keyed by (var, check)
+        edges, vals, gots = [], [], []
+        for k in range(K):
+            for z in range(Z):
+                v = qc.edge_col[k] * Z + z
+                c = qc.edge_row[k] * Z + (z - qc.edge_shift[k]) % Z
+                edges.append((v, c))
+                vals.append(feats[k, z, 0])
+                gots.append(np.asarray(got)[k, z, 0])
+        groups = [v for v, _ in edges] if relation == "var" else [c for _, c in edges]
+        A_norm = _dense_normalized_adjacency(groups)
+        want = A_norm @ np.stack(vals)
+        np.testing.assert_allclose(np.stack(gots), want, rtol=1e-5, atol=1e-6)
+
+
+ALL_MODES = [("neural", "neural"), ("minsum", "neural"), ("neural", "minsum"), ("minsum", "minsum")]
+
+
+class TestForward:
+    @pytest.mark.parametrize("var_mode,check_mode", ALL_MODES)
+    def test_forward_and_grads(self, setup, var_mode, check_mode):
+        _, _, _, H, plan = setup
+        n = H.shape[1]
+        model = MessageGNNDecoder(
+            num_iterations=2,
+            hidden_dim=8,
+            num_message_types=plan.num_edge_types,
+            var_mode=var_mode,
+            check_mode=check_mode,
+        )
+        llr = ch.bpsk_awgn_llr(jax.random.PRNGKey(0), jnp.zeros((4, n)), 2.0)
+        gt = jnp.zeros((4, n))
+        params = model.init(jax.random.PRNGKey(1), llr, plan)
+        soft, loss = model.apply(params, llr, plan, gt)
+        assert soft.shape == (4, n)
+        assert loss.shape == (4,)
+        assert bool(jnp.isfinite(soft).all()) and bool(jnp.isfinite(loss).all())
+
+        def loss_fn(p):
+            _, l = model.apply(p, llr, plan, gt)
+            return l.mean()
+
+        g = jax.jit(jax.grad(loss_fn))(params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+
+    def test_type_embedding_count(self, setup):
+        _, _, qc, H, plan = setup
+        model = create_message_gnn_decoder(plan, num_iterations=1, hidden_dim=8)
+        llr = jnp.zeros((2, H.shape[1]))
+        params = model.init(jax.random.PRNGKey(0), llr, plan)
+        te = params["params"]["gnn_layer_0"]["message_type_embeddings"]
+        assert te.shape[0] == plan.num_edge_types
+
+    def test_share_layers_param_count(self, setup):
+        _, _, _, H, plan = setup
+        llr = jnp.zeros((2, H.shape[1]))
+
+        def nparams(m):
+            p = m.init(jax.random.PRNGKey(0), llr, plan)
+            return sum(x.size for x in jax.tree_util.tree_leaves(p))
+
+        tied = MessageGNNDecoder(num_iterations=3, hidden_dim=8,
+                                 num_message_types=plan.num_edge_types, share_layers=True)
+        untied = MessageGNNDecoder(num_iterations=3, hidden_dim=8,
+                                   num_message_types=plan.num_edge_types, share_layers=False)
+        assert nparams(tied) < nparams(untied)
+
+    def test_decode_hard_bits(self, setup):
+        _, _, _, H, plan = setup
+        n = H.shape[1]
+        model = create_message_gnn_decoder(plan, num_iterations=2, hidden_dim=8)
+        llr = ch.bpsk_awgn_llr(jax.random.PRNGKey(2), jnp.zeros((4, n)), 2.0)
+        params = model.init(jax.random.PRNGKey(3), llr, plan)
+        bits = model.decode(params, llr, plan)
+        assert set(np.unique(np.asarray(bits))) <= {0.0, 1.0}
+
+    def test_minsum_hybrid_uses_learnable_alpha(self, setup):
+        _, _, _, H, plan = setup
+        model = create_custom_check_message_gnn_decoder(plan, num_iterations=2, hidden_dim=8)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, H.shape[1])), plan)
+        assert float(params["params"]["alpha"]) == pytest.approx(0.8)
+
+
+class TestFactories:
+    def test_all_factories_construct_and_run(self, setup):
+        _, _, _, H, plan = setup
+        n = H.shape[1]
+        llr = ch.bpsk_awgn_llr(jax.random.PRNGKey(4), jnp.zeros((2, n)), 3.0)
+        for factory in (
+            create_message_gnn_decoder,
+            create_custom_variable_message_gnn_decoder,
+            create_custom_check_message_gnn_decoder,
+            create_custom_minsum_message_gnn_decoder,
+        ):
+            model = factory(plan, num_iterations=2, hidden_dim=8)
+            params = model.init(jax.random.PRNGKey(5), llr, plan)
+            soft, _ = model.apply(params, llr, plan)
+            assert soft.shape == (2, n)
+
+
+class TestTraining:
+    def test_gnn_trains(self, setup):
+        _, _, _, H, plan = setup
+        model = create_message_gnn_decoder(plan, num_iterations=2, hidden_dim=8)
+        tr = LDPCDecoderTrainer(model, plan, seed=0)
+        tr.train(num_epochs=10, batch_size=16, learning_rate=0.05,
+                 snr_range=[4.0], validation_interval=100, momentum=0.0)
+        assert np.mean(tr.train_losses[-3:]) < np.mean(tr.train_losses[:3])
+
+    def test_full_minsum_gnn_matches_decoding_power(self, setup):
+        """The full-minsum GNN variant is a working decoder out of the box."""
+        _, _, _, H, plan = setup
+        n = H.shape[1]
+        model = create_custom_minsum_message_gnn_decoder(plan, num_iterations=6)
+        llr = ch.bpsk_awgn_llr(jax.random.PRNGKey(6), jnp.zeros((64, n)), 6.0)
+        params = model.init(jax.random.PRNGKey(7), llr, plan)
+        bits = model.decode(params, llr, plan)
+        raw_errors = float((llr < 0).sum())
+        assert float(bits.sum()) <= raw_errors

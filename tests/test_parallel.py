@@ -1,0 +1,96 @@
+"""SPMD tests on the virtual 8-device CPU mesh.
+
+Validates the BASELINE.json properties: sharded sweeps are a deterministic
+re-partition of single-device results, and the sharded train step runs with
+data + tensor parallel shardings.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from ldpc_tpu.codes import get_base_graph, qc_layout
+from ldpc_tpu.models.classical import decode_min_sum
+from ldpc_tpu.models.message_gnn import create_message_gnn_decoder
+from ldpc_tpu.ops import qc_msg
+from ldpc_tpu.parallel import make_mesh, make_sharded_train_step, mc_sweep, tp_param_sharding
+
+
+@pytest.fixture(scope="module")
+def plan():
+    return qc_msg.make_plan(qc_layout(get_base_graph("toy_4x8"), 4))
+
+
+def test_eight_devices_visible():
+    assert len(jax.devices()) == 8
+
+
+class TestShardedMC:
+    def test_sharded_equals_single_device(self, plan):
+        """N-chip MC sweep must reproduce the 1-chip result bit-exactly."""
+        decode = lambda llr: decode_min_sum(llr, plan, 10, 0.75).bits
+        kw = dict(snr_range=[2.0, 5.0], batch_size=64, num_trials=3, seed=7)
+        single = mc_sweep(decode, plan, mesh=None, **kw)
+        mesh = make_mesh(data=8, model=1)
+        sharded = mc_sweep(decode, plan, mesh=mesh, **kw)
+        np.testing.assert_array_equal(single["ber"], sharded["ber"])
+        np.testing.assert_array_equal(single["fer"], sharded["fer"])
+
+    def test_mesh_2d(self, plan):
+        decode = lambda llr: decode_min_sum(llr, plan, 5, 0.75).bits
+        mesh = make_mesh(data=4, model=2)
+        out = mc_sweep(decode, plan, [4.0], batch_size=32, num_trials=2, mesh=mesh)
+        assert 0.0 <= out["ber"][0] <= 1.0
+
+
+class TestShardedTraining:
+    def test_dp_train_step(self, plan):
+        mesh = make_mesh(data=8, model=1)
+        model = create_message_gnn_decoder(plan, num_iterations=2, hidden_dim=8)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, plan.C * plan.Z)), plan)
+        tx = optax.sgd(0.01, momentum=0.9)
+        opt_state = tx.init(params)
+        step = make_sharded_train_step(model, plan, tx, mesh, batch_size=32)
+        with mesh:
+            losses = []
+            for i in range(5):
+                params, opt_state, loss = step(
+                    params, opt_state, jax.random.PRNGKey(i), jnp.float32(4.0)
+                )
+                losses.append(float(loss))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0]
+
+    def test_tp_param_shardings(self, plan):
+        mesh = make_mesh(data=4, model=2)
+        model = create_message_gnn_decoder(plan, num_iterations=2, hidden_dim=8)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, plan.C * plan.Z)), plan)
+        shardings = tp_param_sharding(params, mesh)
+        placed = jax.device_put(params, shardings)
+        # kernels actually sharded over the model axis
+        from jax.sharding import PartitionSpec as P
+        kernel = placed["params"]["gnn_layer_0"]["var_to_check_update"]["Dense_0"]["kernel"]
+        assert kernel.sharding.spec == P(None, "model")
+        tx = optax.sgd(0.01)
+        opt_state = tx.init(placed)
+        step = make_sharded_train_step(model, plan, tx, mesh, batch_size=16)
+        with mesh:
+            p2, _, loss = step(placed, opt_state, jax.random.PRNGKey(1), jnp.float32(3.0))
+        assert np.isfinite(float(loss))
+        k2 = p2["params"]["gnn_layer_0"]["var_to_check_update"]["Dense_0"]["kernel"]
+        assert not k2.sharding.is_fully_replicated
+
+    def test_dp_matches_single_device_loss(self, plan):
+        """Same keys, same loss whether sharded or not (partitionable RNG)."""
+        model = create_message_gnn_decoder(plan, num_iterations=2, hidden_dim=8)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, plan.C * plan.Z)), plan)
+        tx = optax.sgd(0.01)
+        opt = tx.init(params)
+        mesh = make_mesh(data=8, model=1)
+        step_sharded = make_sharded_train_step(model, plan, tx, mesh, batch_size=32)
+        step_single = make_sharded_train_step(model, plan, tx, None, batch_size=32)
+        with mesh:
+            _, _, l1 = step_sharded(params, opt, jax.random.PRNGKey(5), jnp.float32(2.0))
+        _, _, l2 = step_single(params, opt, jax.random.PRNGKey(5), jnp.float32(2.0))
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
