@@ -1,0 +1,116 @@
+"""CLI, comparative evaluator, and visualization tests (small configs, CPU)."""
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ldpc_tpu.cli import main as cli_main
+from ldpc_tpu.codes import get_base_graph, qc_layout
+from ldpc_tpu.config import Config
+from ldpc_tpu.models import make_standard_decoder
+from ldpc_tpu.ops import qc_msg
+from ldpc_tpu.training.evaluator import ComparativeEvaluator
+from ldpc_tpu.visualization.plots import plot_combined, render_report
+
+
+@pytest.fixture(scope="module")
+def plan():
+    return qc_msg.make_plan(qc_layout(get_base_graph("toy_4x8"), 4))
+
+
+class TestConfig:
+    def test_snr_ranges(self):
+        cfg = Config(snr_min=-2, snr_max=6, snr_step=2, eval_snr_step=1)
+        assert cfg.train_snr_range() == [-2, 0, 2, 4, 6]
+        assert len(cfg.eval_snr_range()) == 9
+
+    def test_json_roundtrip(self, tmp_path):
+        cfg = Config(num_epochs=7, base_graph="toy_4x8")
+        p = tmp_path / "cfg.json"
+        p.write_text(cfg.to_json())
+        assert Config.from_file(p) == cfg
+
+
+class TestEvaluator:
+    def test_evaluate_all_and_summary(self, plan, capsys):
+        ev = ComparativeEvaluator(plan, snr_range=[2.0, 6.0], batch_size=16, num_trials=2)
+        ev.add_belief_propagation(10)
+        ev.add_min_sum(10, 0.75)
+        model = make_standard_decoder(num_iterations=3)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, plan.C * plan.Z)), plan)
+        ev.add_model("Neural", model, params)
+        res = ev.evaluate_all(log=None)
+        assert set(res["decoders"]) == {"Belief Propagation", "Min-Sum Scaled", "Neural"}
+        for entry in res["decoders"].values():
+            assert len(entry["ber"]) == 2
+        assert "avg_iterations" in res["decoders"]["Min-Sum Scaled"]
+        assert res["decoders"]["Neural"]["param_count"] > 0
+        ev.print_summary()
+        out = capsys.readouterr().out
+        assert "BER" in out and "parameters" in out
+
+    def test_save_load(self, plan, tmp_path):
+        ev = ComparativeEvaluator(plan, snr_range=[4.0], batch_size=8, num_trials=1)
+        ev.add_min_sum(5)
+        ev.evaluate_all(log=None)
+        p = tmp_path / "res.json"
+        ev.save_results(p)
+        ev2 = ComparativeEvaluator(plan)
+        loaded = ev2.load_results(p)
+        assert loaded == ev.results
+
+
+class TestVisualization:
+    def _results(self):
+        return {
+            "snr_range": [0.0, 2.0, 4.0],
+            "decoders": {
+                "BP": {"ber": [0.1, 0.01, 0.0], "fer": [0.5, 0.1, 0.0],
+                       "avg_iterations": [9, 4, 2], "param_count": 0},
+                "Neural": {"ber": [0.08, 0.008, 1e-4], "fer": [0.4, 0.08, 0.001],
+                           "param_count": 1234},
+            },
+        }
+
+    def test_combined_figure(self):
+        fig = plot_combined(self._results())
+        assert len(fig.axes) == 4
+
+    def test_render_report(self, tmp_path):
+        p = tmp_path / "results.json"
+        p.write_text(json.dumps(self._results()))
+        written = render_report(p, tmp_path / "out", paper_style=True)
+        assert len(written) == 4
+        assert all(w.exists() and w.stat().st_size > 1000 for w in written)
+
+
+class TestCLI:
+    def test_workflow_end_to_end(self, tmp_path, capsys):
+        """Full train->evaluate->compare->visualize chain on a tiny config."""
+        cli_main([
+            "workflow",
+            "--base-graph", "toy_4x8",
+            "--lifting-factor", "4",
+            "--model-type", "tied",
+            "--num-epochs", "2",
+            "--batch-size", "8",
+            "--num-trials", "2",
+            "--snr-min", "0", "--snr-max", "4", "--snr-step", "2",
+            "--eval-snr-step", "2",
+            "--bp-max-iterations", "5",
+            "--model-path", str(tmp_path / "m.msgpack"),
+            "--results-dir", str(tmp_path / "results"),
+        ])
+        out = capsys.readouterr().out
+        assert (tmp_path / "m.msgpack").exists()
+        assert (tmp_path / "results" / "comparison_results.json").exists()
+        assert (tmp_path / "results" / "combined_comparison.png").exists()
+        assert "done in" in out
+
+    def test_unknown_model_type(self, tmp_path):
+        with pytest.raises(SystemExit):
+            cli_main(["train", "--model-type", "nope", "--base-graph", "toy_4x8",
+                      "--lifting-factor", "4", "--num-epochs", "1"])
