@@ -23,7 +23,7 @@ REF_BITS_PER_S = 666.43
 CODE = "nr_2_0_32"
 Z = 32
 ITERS = 20
-MINSUM_BATCH = 4096
+MINSUM_BATCH = 65536
 GNN_BATCH = 512
 GNN_HIDDEN = 64
 
@@ -33,24 +33,36 @@ def main() -> None:
     from ldpc_tpu.models.classical import decode_min_sum
     from ldpc_tpu.models.message_gnn import create_message_gnn_decoder
     from ldpc_tpu.ops import qc_msg
+    from ldpc_tpu.ops.pallas_minsum import make_fused_minsum
     from ldpc_tpu.utils import bpsk_awgn_llr
 
-    plan = qc_msg.make_plan(qc_layout(get_base_graph(CODE), Z))
+    qc = qc_layout(get_base_graph(CODE), Z)
+    plan = qc_msg.make_plan(qc)
     n = plan.C * plan.Z
+    on_tpu = jax.default_backend() == "tpu"
 
-    # --- min-sum ---------------------------------------------------------
+    # --- min-sum (fused Pallas kernel on TPU; XLA scan elsewhere) --------
+    fused = make_fused_minsum(qc, ITERS, 0.75, batch_tile=128) if on_tpu else None
+
     @partial(jax.jit, static_argnames=("B",))
     def minsum_pipe(key, B):
         llr = bpsk_awgn_llr(key, jnp.zeros((B, n)), 3.0)
+        if fused is not None:
+            bits, conv = fused(llr)
+            return bits.sum(), conv.astype(jnp.float32).mean()
         res = decode_min_sum(llr, plan, ITERS, 0.75)
         return res.bits.sum(), res.conv_iter.astype(jnp.float32).mean()
 
     def time_fn(fn, reps=10):
+        # Timing discipline for remote/tunneled backends: block_until_ready
+        # can return before real device execution completes, so (a) saturate
+        # the queue with back-to-back dispatches and (b) synchronize with an
+        # actual VALUE fetch of the last result, which cannot be elided.
         outs = [fn(i) for i in range(2)]  # warmup (compile + steady)
-        jax.tree_util.tree_map(lambda x: x.block_until_ready(), outs[-1])
+        _ = [float(x) for x in jax.tree_util.tree_leaves(outs[-1])]
         t0 = time.time()
         outs = [fn(100 + i) for i in range(reps)]
-        jax.tree_util.tree_map(lambda x: x.block_until_ready(), outs[-1])
+        _ = [float(x) for x in jax.tree_util.tree_leaves(outs[-1])]
         return (time.time() - t0) / reps, outs[-1]
 
     dt_ms, (err_ms, iters_ms) = time_fn(
@@ -82,6 +94,7 @@ def main() -> None:
                     "code": CODE,
                     "Z": Z,
                     "iterations": ITERS,
+                    "minsum_kernel": "pallas_fused" if fused is not None else "xla_scan",
                     "minsum_batch": MINSUM_BATCH,
                     "minsum_ms_per_batch": round(dt_ms * 1e3, 2),
                     "minsum_bit_errors_at_3db": float(err_ms),

@@ -1,0 +1,227 @@
+"""Fused Pallas TPU kernel: the entire min-sum decode loop in VMEM.
+
+The XLA decoder (:mod:`ldpc_tpu.models.classical`) round-trips every message
+tensor through HBM each iteration.  This kernel instead keeps *all* decode
+state — channel LLRs, c2v/v2c messages, beliefs, frozen bits, convergence
+iterations — resident in VMEM for a tile of the batch, running all
+iterations back-to-back.  HBM traffic collapses to one LLR read and one
+bits/iteration write per tile, which is the speed-of-light floor for the op
+(BASELINE.json: check/variable kernels HBM-bandwidth-bound).
+
+Structure exploited (this is why no gather appears anywhere):
+
+* Messages live as (Z, Bt) blocks per base edge, batch in the lanes.
+* The check<->variable alignment change for base edge k with circulant
+  shift s is a roll by s along the Z (sublane) axis — implemented as two
+  static slices + concat, which Mosaic compiles to cheap vector shuffles.
+* Per-check leave-one-out min-sum uses the running (min, 2nd-min,
+  sign-product) reduction over the <=10 member blocks of each base row; the
+  excluded minimum for member k is ``m1 if |x_k| > m1 else m2`` (ties fall
+  out correctly because then m2 == m1).
+* The base-graph loops (42 rows, 52 cols, 197 edges) are unrolled at trace
+  time — they are compile-time structure, like the reference's index
+  tensors, but with zero runtime indexing cost.
+
+Semantics match :func:`ldpc_tpu.models.classical.decode_min_sum` exactly
+(same update order, per-frame first-valid-syndrome freezing); parity is
+asserted in tests/test_pallas_minsum.py.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ldpc_tpu.codes.base_graphs import BaseGraph
+from ldpc_tpu.codes.edge_layout import QCLayout
+
+Array = jax.Array
+
+_BIG = 1e9
+
+
+class _Structure(NamedTuple):
+    """Static base-graph structure baked into the kernel trace."""
+
+    Z: int
+    R: int
+    C: int
+    K: int
+    row_members: tuple[tuple[int, ...], ...]  # base-edge ids per check row
+    col_members: tuple[tuple[int, ...], ...]  # base-edge ids per var column
+    shifts: tuple[int, ...]  # circulant shift per base edge
+    cols: tuple[int, ...]  # base column per base edge
+
+
+def _structure(qc: QCLayout) -> _Structure:
+    K = qc.num_base_edges
+    row_members = tuple(
+        tuple(int(k) for k in row if k != K) for row in qc.row_edges
+    )
+    col_members = tuple(
+        tuple(int(k) for k in col if k != K) for col in qc.col_edges
+    )
+    return _Structure(
+        Z=qc.Z,
+        R=qc.num_base_rows,
+        C=qc.num_base_cols,
+        K=K,
+        row_members=row_members,
+        col_members=col_members,
+        shifts=tuple(int(s) for s in qc.edge_shift),
+        cols=tuple(int(c) for c in qc.edge_col),
+    )
+
+
+_USE_HW_ROLL = True
+
+
+def _roll(x: Array, s: int, Z: int) -> Array:
+    """Roll rows of (Z, Bt) down by s: out[i] = x[(i - s) % Z] (static s)."""
+    s = s % Z
+    if s == 0:
+        return x
+    if _USE_HW_ROLL:
+        return pltpu.roll(x, s, 0)
+    return jnp.concatenate([x[Z - s :], x[: Z - s]], axis=0)
+
+
+def _kernel(llr_ref, bits_ref, conv_ref, c2v, beliefs, frozen, conv_buf, *, st: _Structure,
+            max_iterations: int, alpha: float):
+    Z, K, C, R = st.Z, st.K, st.C, st.R
+    Bt = llr_ref.shape[1]
+
+    c2v[:] = jnp.zeros_like(c2v)
+    frozen[:] = jnp.zeros_like(frozen)
+    conv_buf[:] = jnp.zeros_like(conv_buf)
+    beliefs[:] = llr_ref[:]  # beliefs with c2v = 0
+
+    def ez(k):
+        return slice(k * Z, (k + 1) * Z)
+
+    def iteration(t, _):
+        # ---- check update ------------------------------------------------
+        # v2c is formed on the fly (belief[var] - c2v), rolled to check
+        # alignment, reduced with the running (min, 2nd-min, sign-product)
+        # trick, and written back — each edge belongs to exactly one row, so
+        # in-place c2v updates never alias another row's reads.
+        for r in range(R):
+            members = st.row_members[r]
+            rolled = []
+            m1 = jnp.full((Z, Bt), _BIG, jnp.float32)
+            m2 = jnp.full((Z, Bt), _BIG, jnp.float32)
+            sp = jnp.ones((Z, Bt), jnp.float32)
+            for k in members:
+                v2c = beliefs[ez(st.cols[k])] - c2v[ez(k)]
+                # check-aligned view: msg[z_r] = v2c_var[(z_r + s_k) % Z]
+                x = _roll(v2c, -st.shifts[k], Z)
+                rolled.append(x)
+                sgn = jnp.where(x < 0, -1.0, 1.0)
+                mag = jnp.abs(x)
+                sp = sp * sgn
+                new_min = jnp.minimum(mag, m1)
+                m2 = jnp.minimum(jnp.maximum(mag, m1), m2)
+                m1 = new_min
+            for k, x in zip(members, rolled):
+                sgn = jnp.where(x < 0, -1.0, 1.0)
+                mag = jnp.abs(x)
+                loo = jnp.where(mag > m1, m1, m2)
+                loo = jnp.where(loo < _BIG, loo, 0.0)
+                out = alpha * sp * sgn * loo
+                c2v[ez(k)] = _roll(out, st.shifts[k], Z)
+
+        # ---- beliefs, bits, syndrome, convergence tracking ---------------
+        viol = jnp.zeros((1, Bt), jnp.float32)
+        bits_now = []
+        for c in range(C):
+            colsum = jnp.zeros((Z, Bt), jnp.float32)
+            for k in st.col_members[c]:
+                colsum = colsum + c2v[ez(k)]
+            belief = llr_ref[ez(c)] + colsum
+            beliefs[ez(c)] = belief
+            bits_now.append(jnp.where(belief < 0, 1.0, 0.0))
+        for r in range(R):
+            parity = jnp.zeros((Z, Bt), jnp.float32)
+            for k in st.row_members[r]:
+                parity = parity + _roll(bits_now[st.cols[k]], -st.shifts[k], Z)
+            parity = parity - 2.0 * jnp.floor(parity * 0.5)  # mod 2
+            viol = viol + jnp.sum(parity, axis=0, keepdims=True)
+
+        ok = viol == 0.0  # (1, Bt)
+        newly = jnp.logical_and(ok, conv_buf[0:1, :] == 0.0)
+        for c in range(C):
+            frozen[ez(c)] = jnp.where(newly, bits_now[c], frozen[ez(c)])
+        conv_buf[0:1, :] = jnp.where(newly, jnp.float32(t + 1), conv_buf[0:1, :])
+        return 0
+
+    jax.lax.fori_loop(0, max_iterations, iteration, 0, unroll=False)
+
+    # ---- final outputs ---------------------------------------------------
+    converged = conv_buf[0:1, :] > 0.0
+    for c in range(C):
+        final_bits = jnp.where(beliefs[ez(c)] < 0, 1.0, 0.0)
+        bits_ref[ez(c)] = jnp.where(converged, frozen[ez(c)], final_bits)
+    conv_ref[:] = jnp.where(
+        converged, conv_buf[0:1, :], jnp.float32(max_iterations)
+    ) * jnp.ones_like(conv_ref)
+
+
+def make_fused_minsum(
+    qc: QCLayout,
+    max_iterations: int = 20,
+    alpha: float = 0.75,
+    batch_tile: int = 128,
+    interpret: bool = False,
+):
+    """Build the fused decoder: (B, n) LLRs -> (bits (B, n), conv_iter (B,)).
+
+    ``batch_tile`` lanes of the batch decode per grid step with all state in
+    VMEM (about (2K + 4C) * Z * 4 bytes per lane; ~10 MB at Z=32 tile 128).
+    ``interpret=True`` runs the Pallas interpreter (CPU tests).
+    """
+    st = _structure(qc)
+    Z, C, K = st.Z, st.C, st.K
+    n = C * Z
+
+    kernel = functools.partial(_kernel, st=st, max_iterations=max_iterations, alpha=alpha)
+
+    @jax.jit
+    def decode(llr: Array):
+        B = llr.shape[0]
+        if B % batch_tile:
+            pad = batch_tile - B % batch_tile
+            llr = jnp.concatenate([llr, jnp.zeros((pad, n), llr.dtype)], axis=0)
+        Bp = llr.shape[0]
+        llr_cz = llr.reshape(Bp, C, Z).transpose(1, 2, 0).reshape(C * Z, Bp)
+        grid = (Bp // batch_tile,)
+        bits_cz, conv = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((C * Z, batch_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((C * Z, batch_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, batch_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((C * Z, Bp), jnp.float32),
+                jax.ShapeDtypeStruct((8, Bp), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((K * Z, batch_tile), jnp.float32),  # c2v
+                pltpu.VMEM((C * Z, batch_tile), jnp.float32),  # beliefs
+                pltpu.VMEM((C * Z, batch_tile), jnp.float32),  # frozen bits
+                pltpu.VMEM((8, batch_tile), jnp.float32),  # conv iter
+            ],
+            interpret=interpret,
+        )(llr_cz)
+        bits = bits_cz.reshape(C, Z, Bp).transpose(2, 0, 1).reshape(Bp, n)
+        return bits[:B], conv[0, :B].astype(jnp.int32)
+
+    return decode

@@ -1,0 +1,43 @@
+"""Fused Pallas min-sum kernel: exact parity with the XLA decoder (interpret
+mode on CPU; the real-TPU path is exercised by bench.py)."""
+import jax
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ldpc_tpu.codes import get_base_graph, qc_layout
+from ldpc_tpu.models.classical import decode_min_sum
+from ldpc_tpu.ops import qc_msg
+from ldpc_tpu.ops.pallas_minsum import make_fused_minsum
+from ldpc_tpu.utils import bpsk_awgn_llr
+
+
+@pytest.mark.parametrize("name,Z,iters", [("toy_4x8", 4, 5), ("nr_2_0_4", 4, 8)])
+def test_matches_xla_decoder(name, Z, iters):
+    qc = qc_layout(get_base_graph(name), Z)
+    plan = qc_msg.make_plan(qc)
+    n = plan.C * plan.Z
+    llr = bpsk_awgn_llr(jax.random.PRNGKey(0), jnp.zeros((16, n)), 2.0)
+    fused = make_fused_minsum(qc, max_iterations=iters, alpha=0.75, batch_tile=8,
+                              interpret=True)
+    bits, conv = fused(llr)
+    ref = decode_min_sum(llr, plan, iters, 0.75)
+    np.testing.assert_array_equal(np.asarray(bits), np.asarray(ref.bits))
+    # conv_iter may differ by 1 on a tiny fraction of frames: the XLA path
+    # sums check messages via a matmul, the kernel via sequential adds, and
+    # beliefs at an exact tie can flip a mid-decode bit (final bits agree).
+    c1, c2 = np.asarray(conv), np.asarray(ref.conv_iter)
+    assert (np.abs(c1 - c2) <= 1).all()
+    assert (c1 == c2).mean() >= 0.99
+
+
+def test_batch_padding():
+    qc = qc_layout(get_base_graph("toy_4x8"), 4)
+    plan = qc_msg.make_plan(qc)
+    n = plan.C * plan.Z
+    llr = bpsk_awgn_llr(jax.random.PRNGKey(1), jnp.zeros((5, n)), 4.0)  # 5 % 8 != 0
+    fused = make_fused_minsum(qc, max_iterations=6, batch_tile=8, interpret=True)
+    bits, conv = fused(llr)
+    assert bits.shape == (5, n)
+    ref = decode_min_sum(llr, plan, 6, 0.75)
+    np.testing.assert_array_equal(np.asarray(bits), np.asarray(ref.bits))
