@@ -42,6 +42,18 @@ def snr_db_to_linear(snr_db) -> Array:
     return 10.0 ** (jnp.asarray(snr_db, dtype=jnp.float32) / 10.0)
 
 
+def ebn0_to_esn0(ebn0_db, code_rate: float, bits_per_symbol: int = 2):
+    """Eb/N0 (dB) -> Es/N0 (dB): Es/N0 = Eb/N0 + 10 log10(rate * bits/sym).
+
+    The reference treats SNR as Es/N0 throughout and never rate-normalizes
+    (SURVEY.md §2 note 8); this optional helper makes Eb/N0 sweeps explicit
+    for literature-comparable curves.
+    """
+    import math
+
+    return jnp.asarray(ebn0_db, jnp.float32) + 10.0 * math.log10(code_rate * bits_per_symbol)
+
+
 # ---------------------------------------------------------------------------
 # BPSK one-shot channel (reference AWGNChannel.transmit)
 # ---------------------------------------------------------------------------

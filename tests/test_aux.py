@@ -1,0 +1,104 @@
+"""Auxiliary subsystems: metrics, logging, profiling estimates, orbax
+checkpointing, Eb/N0 conversion."""
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from ldpc_tpu.codes import get_base_graph, qc_layout
+from ldpc_tpu.models import make_standard_decoder
+from ldpc_tpu.ops import qc_msg
+from ldpc_tpu.training.checkpoint import CheckpointManager
+from ldpc_tpu.utils.channel import ebn0_to_esn0
+from ldpc_tpu.utils.logging import debug_dumps_enabled, get_logger
+from ldpc_tpu.utils.metrics import MetricsRegistry, decode_throughput
+from ldpc_tpu.utils.profiling import minsum_roofline
+
+
+class TestMetrics:
+    def test_counters_gauges_series(self):
+        m = MetricsRegistry()
+        m.count("frames", 10)
+        m.count("frames", 5)
+        m.gauge("ber", 1e-3)
+        with m.timer("decode"):
+            pass
+        snap = m.snapshot()
+        assert snap["counters"]["frames"] == 15
+        assert snap["gauges"]["ber"] == 1e-3
+        assert len(snap["series"]["decode_s"]) == 1
+        assert "frames: 15" in m.summary()
+
+    def test_throughput(self):
+        m = MetricsRegistry()
+        bps = decode_throughput(100, 1664, 0.5, m)
+        assert bps == pytest.approx(100 * 1664 / 0.5)
+        assert m.gauges["decoded_bits_per_s"] == bps
+
+    def test_dump(self, tmp_path):
+        m = MetricsRegistry()
+        m.count("x")
+        m.dump(tmp_path / "m.json")
+        assert (tmp_path / "m.json").exists()
+
+
+class TestLogging:
+    def test_logger_singleton_handlers(self):
+        a = get_logger("ldpc_tpu.test")
+        b = get_logger("ldpc_tpu.test")
+        assert a is b and len(a.handlers) == 1
+
+    def test_debug_dumps_flag(self, monkeypatch):
+        monkeypatch.setenv("LDPC_TPU_DEBUG_DUMPS", "1")
+        assert debug_dumps_enabled()
+        monkeypatch.delenv("LDPC_TPU_DEBUG_DUMPS")
+        assert not debug_dumps_enabled()
+
+
+class TestRoofline:
+    def test_minsum_roofline(self):
+        qc = qc_layout(get_base_graph("nr_2_0_32"), 32)
+        rl = minsum_roofline(qc, 20)
+        bounds = rl.bound_bits_per_s(qc.num_vars)
+        # compute-bound well below memory-bound for this VMEM-resident kernel
+        assert bounds["compute_bound_bits_per_s"] < bounds["memory_bound_bits_per_s"]
+        # measured 2.6 Gbit/s should be within ~2x of the compute bound
+        assert 1e9 < bounds["compute_bound_bits_per_s"] < 2e10
+
+
+class TestCheckpoint:
+    def test_save_restore_resume(self, tmp_path):
+        plan = qc_msg.make_plan(qc_layout(get_base_graph("toy_4x8"), 4))
+        model = make_standard_decoder(num_iterations=2)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, plan.C * plan.Z)), plan)
+        tx = optax.sgd(0.01, momentum=0.9)
+        opt_state = tx.init(params)
+        mgr = CheckpointManager(tmp_path / "ckpt", max_to_keep=2)
+        mgr.save(1, params, opt_state, {"train_losses": [1.0]})
+        mgr.save(2, params, opt_state, {"train_losses": [1.0, 0.9]})
+        assert mgr.latest_step() == 2
+        restored = mgr.restore(template={"params": params, "opt_state": opt_state,
+                                         "history": {"train_losses": [0.0, 0.0]}})
+        chex_equal = jax.tree_util.tree_all(
+            jax.tree_util.tree_map(lambda a, b: bool(jnp.allclose(a, b)),
+                                   restored["params"], params)
+        )
+        assert chex_equal
+        assert restored["history"]["train_losses"][-1] == pytest.approx(0.9)
+        mgr.close()
+
+    def test_restore_empty_raises(self, tmp_path):
+        mgr = CheckpointManager(tmp_path / "empty")
+        with pytest.raises(FileNotFoundError):
+            mgr.restore()
+        mgr.close()
+
+
+def test_ebn0_conversion():
+    # rate 1/2, QPSK: Es/N0 = Eb/N0 + 10log10(1) = Eb/N0
+    assert float(ebn0_to_esn0(3.0, 0.5, 2)) == pytest.approx(3.0)
+    # rate 1/5 BG2-ish, QPSK: offset 10log10(0.4) = -3.98 dB
+    assert float(ebn0_to_esn0(3.0, 0.2, 2)) == pytest.approx(3.0 - 3.979, abs=1e-2)
