@@ -7,6 +7,7 @@ from ldpc_tpu.codes.base_graphs import (  # noqa: F401
     get_base_graph,
     load_base_matrix,
 )
+from ldpc_tpu.codes.encoder import Encoder, encoder_from_H  # noqa: F401
 from ldpc_tpu.codes.edge_layout import (  # noqa: F401
     EdgeLayout,
     QCLayout,

@@ -58,7 +58,11 @@ class GNNLDPCDecoder(nn.Module):
         types, num_types = self._types(plan)
         w_ch = self.param("w_ch", nn.initializers.ones, (num_types,))[types][:, None, None]
         w_c2v = self.param("w_c2v", nn.initializers.ones, (num_types,))[types][:, None, None]
-        w_res = self.param("w_res", nn.initializers.ones, (self.depth_L,))
+        # Residual taps start at 0 (the reference initializes them to 1,
+        # layers.py:141, which *degrades* the decoder below classical
+        # min-sum until trained; zero init starts exactly at classical
+        # performance and training can only improve from there).
+        w_res = self.param("w_res", nn.initializers.zeros, (self.depth_L,))
 
         def step(carry, _):
             q_prev, fifo = carry

@@ -101,7 +101,11 @@ class NeuralMinSumDecoder(nn.Module):
         edge_llr = llr_cz[plan.edge_col]  # (K, Z, B) per-edge channel copies
 
         w_ch = self._w_ch(plan)
-        w_res = self.param("w_res", nn.initializers.ones, (self.depth_L,))
+        # Residual taps start at 0 (the reference initializes them to 1,
+        # layers.py:141, which *degrades* the decoder below classical
+        # min-sum until trained; zero init starts exactly at classical
+        # performance and training can only improve from there).
+        w_res = self.param("w_res", nn.initializers.zeros, (self.depth_L,))
         alpha = (
             self.param("alpha", nn.initializers.constant(0.8), ())
             if self.learnable_alpha

@@ -48,21 +48,31 @@ def make_mc_trial(
     mesh: Mesh | None = None,
     modulation: str = "qpsk",
     convention: str = "consistent",
+    encoder=None,
 ):
-    """Build a jitted all-zero-codeword MC trial: (key, snr_db) -> counts.
+    """Build a jitted MC trial: (key, snr_db) -> counts.
 
-    ``decode_bits`` maps (B, n) LLRs to (B, n) hard bits.  Returned counts
-    are (bit_errors, frame_errors, bits, frames) scalars — `psum`-reduced
+    Transmits all-zero codewords (the reference protocol, valid for
+    sign-symmetric decoders) or, when an :class:`ldpc_tpu.codes.Encoder` is
+    given, random codewords — required for honest evaluation of
+    non-symmetric neural decoders (see codes/encoder.py).  ``decode_bits``
+    maps (B, n) LLRs to (B, n) hard bits.  Returned counts are
+    (bit_errors, frame_errors, bits, frames) scalars — `psum`-reduced
     across the mesh by XLA from the sharding annotations.
     """
 
     @jax.jit
     def trial(key, snr_db):
-        bits = jnp.zeros((batch_size, n))
-        if modulation == "qpsk":
-            llr = ch.qpsk_awgn_llr(key, bits, snr_db, convention)
+        if encoder is None:
+            bits = jnp.zeros((batch_size, n))
+            kc = key
         else:
-            llr = ch.bpsk_awgn_llr(key, bits, snr_db)
+            kb, kc = jax.random.split(key)
+            bits = encoder.random_codewords(kb, batch_size)
+        if modulation == "qpsk":
+            llr = ch.qpsk_awgn_llr(kc, bits, snr_db, convention)
+        else:
+            llr = ch.bpsk_awgn_llr(kc, bits, snr_db)
         llr = _constrain_batch(llr, mesh)
         hard = decode_bits(llr)
         return ch.error_counts(bits, hard)
@@ -80,6 +90,7 @@ def mc_sweep(
     seed: int = 4321,
     modulation: str = "qpsk",
     convention: str = "consistent",
+    encoder=None,
 ) -> dict[str, list[float]]:
     """Sharded BER/FER sweep.  Returns {"snr", "ber", "fer"} lists.
 
@@ -88,7 +99,7 @@ def mc_sweep(
     device count.
     """
     n = plan.C * plan.Z
-    trial = make_mc_trial(decode_bits, n, batch_size, mesh, modulation, convention)
+    trial = make_mc_trial(decode_bits, n, batch_size, mesh, modulation, convention, encoder)
     base = jax.random.PRNGKey(seed)
     bers, fers = [], []
     ctx = mesh or _null_ctx()

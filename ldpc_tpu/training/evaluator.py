@@ -46,6 +46,7 @@ class ComparativeEvaluator:
         modulation: str = "qpsk",
         convention: str = "consistent",
         seed: int = 4321,
+        encoder=None,
     ):
         self.plan = plan
         self.snr_range = [float(s) for s in (snr_range if snr_range is not None else range(-2, 7))]
@@ -55,6 +56,7 @@ class ComparativeEvaluator:
         self.modulation = modulation
         self.convention = convention
         self.seed = seed
+        self.encoder = encoder
         self._decoders: dict[str, dict[str, Any]] = {}
         self.results: dict[str, Any] = {}
 
@@ -120,6 +122,7 @@ class ComparativeEvaluator:
                 seed=self.seed,
                 modulation=self.modulation,
                 convention=self.convention,
+                encoder=self.encoder,
             )
             entry: dict[str, Any] = {
                 "ber": sweep["ber"],

@@ -37,11 +37,13 @@ class LDPCDecoderTrainer:
         seed: int = 0,
         convention: str = "consistent",
         modulation: str = "qpsk",
+        encoder=None,
     ):
         self.model = model
         self.plan = plan
         self.convention = convention
         self.modulation = modulation
+        self.encoder = encoder
         self.n = plan.C * plan.Z
         key = jax.random.PRNGKey(seed)
         self.init_key, self.data_key = jax.random.split(key)
@@ -73,21 +75,44 @@ class LDPCDecoderTrainer:
         weight_decay: float = 1e-4,
         validation_interval: int = 5,
         log: Callable[[str], None] | None = None,
+        data_mode: str = "random_bits",
+        optimizer: str = "sgd",
     ) -> dict[str, Any]:
-        """SNR-mixed training loop (defaults mirror main.py:33-42)."""
+        """SNR-mixed training loop (defaults mirror main.py:33-42).
+
+        data_mode: "random_bits" — the reference package protocol
+        (trainer.py:85-86; trains the model as a denoiser since random bits
+        are not codewords, SURVEY.md §2 note 10); "zero_codewords" — the
+        reference notebook protocol (cell 11 train_decoder), valid for
+        sign-symmetric decoders; "random_codewords" — encoder-based
+        training (requires ``encoder=`` at construction), the only honest
+        mode for non-symmetric models like the message GNN.
+        """
         if snr_range is None:
             snr_range = [-2.0, 0.0, 2.0, 4.0]
         snr_range = [float(s) for s in snr_range]
-        tx = optax.chain(
-            optax.add_decayed_weights(weight_decay),
-            optax.sgd(learning_rate, momentum=momentum),
-        )
+        if optimizer == "sgd":  # the reference optimizer (trainer.py:70)
+            opt = optax.sgd(learning_rate, momentum=momentum)
+        elif optimizer == "adam":
+            opt = optax.adam(learning_rate)
+        else:
+            raise ValueError(f"unknown optimizer {optimizer!r}")
+        tx = optax.chain(optax.add_decayed_weights(weight_decay), opt)
         opt_state = tx.init(self.params)
+
+        if data_mode == "random_codewords" and self.encoder is None:
+            raise ValueError("data_mode='random_codewords' requires encoder=")
+        encoder = self.encoder
 
         @jax.jit
         def train_step(params, opt_state, key, snr_db):
             kb, kc = jax.random.split(key)
-            bits = jax.random.bernoulli(kb, 0.5, (batch_size, self.n)).astype(jnp.float32)
+            if data_mode == "zero_codewords":
+                bits = jnp.zeros((batch_size, self.n), jnp.float32)
+            elif data_mode == "random_codewords":
+                bits = encoder.random_codewords(kb, batch_size)
+            else:
+                bits = jax.random.bernoulli(kb, 0.5, (batch_size, self.n)).astype(jnp.float32)
             llr = self._channel(kc, bits, snr_db)
 
             def loss_fn(p):
