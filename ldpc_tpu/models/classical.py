@@ -96,6 +96,12 @@ def decode_bp(llr: Array, plan: QCPlan, max_iterations: int = 50) -> DecodeResul
     return _decode_scan(llr, plan, max_iterations, qc_msg.check_update_sumproduct)
 
 
+def _resolve_backend(backend: str) -> str:
+    if backend == "auto":
+        return "fused" if jax.default_backend() == "tpu" else "xla"
+    return backend
+
+
 @dataclasses.dataclass(frozen=True)
 class BeliefPropagationDecoder:
     """Object-style wrapper (API parity with the reference class).
@@ -104,19 +110,33 @@ class BeliefPropagationDecoder:
     `traditional_decoders.py:42-109`; ``iterations`` is the batch maximum of
     per-frame convergence iterations (the reference stops when *all* frames
     are valid, so its count equals this maximum).
+
+    ``backend``: "xla" (lax.scan, any platform), "fused" (VMEM-resident
+    Pallas kernel, TPU), or "auto" (fused on TPU, xla elsewhere).
     """
 
     qc: QCLayout
     max_iterations: int = 50
     early_stopping: bool = True
+    backend: str = "auto"
 
     def __post_init__(self):
         object.__setattr__(self, "_plan", qc_msg.make_plan(self.qc))
+        if _resolve_backend(self.backend) == "fused":
+            from ldpc_tpu.ops.pallas_minsum import make_fused_bp
+
+            object.__setattr__(self, "_fused", make_fused_bp(self.qc, self.max_iterations))
+        else:
+            object.__setattr__(self, "_fused", None)
 
     def decode_full(self, llr: Array) -> DecodeResult:
         return decode_bp(llr, self._plan, self.max_iterations)
 
     def decode(self, llr: Array):
+        if self._fused is not None:
+            bits, conv = self._fused(llr)
+            iters = int(conv.max()) if self.early_stopping else self.max_iterations
+            return bits, iters
         res = self.decode_full(llr)
         iters = int(res.conv_iter.max()) if self.early_stopping else self.max_iterations
         return res.bits, iters
@@ -125,20 +145,36 @@ class BeliefPropagationDecoder:
 @dataclasses.dataclass(frozen=True)
 class MinSumScaledDecoder:
     """Object-style wrapper for scaled min-sum (reference
-    `traditional_decoders.py:137-285`)."""
+    `traditional_decoders.py:137-285`).  ``backend`` as in
+    :class:`BeliefPropagationDecoder`."""
 
     qc: QCLayout
     max_iterations: int = 50
     scaling_factor: float = 0.75
     early_stopping: bool = True
+    backend: str = "auto"
 
     def __post_init__(self):
         object.__setattr__(self, "_plan", qc_msg.make_plan(self.qc))
+        if _resolve_backend(self.backend) == "fused":
+            from ldpc_tpu.ops.pallas_minsum import make_fused_minsum
+
+            object.__setattr__(
+                self,
+                "_fused",
+                make_fused_minsum(self.qc, self.max_iterations, self.scaling_factor),
+            )
+        else:
+            object.__setattr__(self, "_fused", None)
 
     def decode_full(self, llr: Array) -> DecodeResult:
         return decode_min_sum(llr, self._plan, self.max_iterations, self.scaling_factor)
 
     def decode(self, llr: Array):
+        if self._fused is not None:
+            bits, conv = self._fused(llr)
+            iters = int(conv.max()) if self.early_stopping else self.max_iterations
+            return bits, iters
         res = self.decode_full(llr)
         iters = int(res.conv_iter.max()) if self.early_stopping else self.max_iterations
         return res.bits, iters

@@ -48,10 +48,15 @@ class MessageGNNLayer(nn.Module):
     ``combined = f + type_emb``; var-relation update MLP([combined,
     var_agg(combined)]); check-relation update MLP([combined,
     check_agg(combined)]); sum of both halves.
+
+    ``compute_dtype=bfloat16`` (default) runs the MLP matmuls on the MXU in
+    bf16 with float32 parameters and accumulation — the TPU-native precision
+    recipe; pass float32 for bit-for-bit ablations.
     """
 
     hidden_dim: int = 64
     num_message_types: int = 1
+    compute_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, feats: Array, plan: QCPlan) -> Array:
@@ -60,28 +65,29 @@ class MessageGNNLayer(nn.Module):
             nn.initializers.normal(1.0),
             (self.num_message_types, self.hidden_dim),
         )
-        combined = feats + te[plan.edge_type][:, None, None, :]
+        combined = (feats + te[plan.edge_type][:, None, None, :]).astype(self.compute_dtype)
         var_agg = qc_msg.var_group_mean(combined, plan)
         chk_agg = qc_msg.check_group_mean(combined, plan)
-        v2c = MLP2(self.hidden_dim, name="var_to_check_update")(
+        v2c = MLP2(self.hidden_dim, self.compute_dtype, name="var_to_check_update")(
             jnp.concatenate([combined, var_agg], axis=-1)
         )
-        c2v = MLP2(self.hidden_dim, name="check_to_var_update")(
+        c2v = MLP2(self.hidden_dim, self.compute_dtype, name="check_to_var_update")(
             jnp.concatenate([combined, chk_agg], axis=-1)
         )
-        return v2c + c2v
+        return (v2c + c2v).astype(self.compute_dtype)
 
 
 class MLP2(nn.Module):
     """Linear(2h -> h) / ReLU / Linear(h -> h) (reference :36-46)."""
 
     hidden_dim: int
+    compute_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = nn.Dense(self.hidden_dim)(x)
+        x = nn.Dense(self.hidden_dim, dtype=self.compute_dtype)(x)
         x = nn.relu(x)
-        return nn.Dense(self.hidden_dim)(x)
+        return nn.Dense(self.hidden_dim, dtype=self.compute_dtype)(x)
 
 
 class MessageGNNDecoder(nn.Module):
@@ -113,6 +119,7 @@ class MessageGNNDecoder(nn.Module):
     depth_L: int = 3  # residual depth for the classical var update
     damping: float = 0.5  # reference damping after iter 1 (:659-664)
     loss_mode: Literal["mean", "max"] = "mean"
+    compute_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, llr: Array, plan: QCPlan, ground_truth: Array | None = None):
@@ -125,13 +132,15 @@ class MessageGNNDecoder(nn.Module):
         input_embed = nn.Dense(self.hidden_dim, name="input_embedding")
 
         if fully_neural:
-            feats = input_embed(edge_llr[..., None])  # (K, Z, B, h)
+            feats = input_embed(edge_llr[..., None]).astype(self.compute_dtype)  # (K, Z, B, h)
             if self.share_layers:
-                shared = MessageGNNLayer(self.hidden_dim, self.num_message_types, name="gnn_layer")
+                shared = MessageGNNLayer(self.hidden_dim, self.num_message_types,
+                                         self.compute_dtype, name="gnn_layer")
                 layers = [shared] * self.num_iterations
             else:
                 layers = [
-                    MessageGNNLayer(self.hidden_dim, self.num_message_types, name=f"gnn_layer_{i}")
+                    MessageGNNLayer(self.hidden_dim, self.num_message_types,
+                                    self.compute_dtype, name=f"gnn_layer_{i}")
                     for i in range(self.num_iterations)
                 ]
             for i, layer in enumerate(layers):
@@ -139,7 +148,7 @@ class MessageGNNDecoder(nn.Module):
                 if i > 0:  # residual skip from iteration 2 on (reference :261-262)
                     new = new + feats
                 feats = new
-            msg_llr = nn.Dense(1, name="output_projection")(feats)[..., 0]
+            msg_llr = nn.Dense(1, name="output_projection")(feats.astype(jnp.float32))[..., 0]
         else:
             msg_llr = self._hybrid_loop(edge_llr, llr_cz, plan, input_embed, B)
 
@@ -167,7 +176,8 @@ class MessageGNNDecoder(nn.Module):
 
         def sub(prefix: str, i: int):
             name = prefix if self.share_layers else f"{prefix}_{i}"
-            layer = MessageGNNLayer(self.hidden_dim, self.num_message_types, name=f"{name}_gnn")
+            layer = MessageGNNLayer(self.hidden_dim, self.num_message_types,
+                                    self.compute_dtype, name=f"{name}_gnn")
             proj = nn.Dense(1, name=f"{name}_proj")
             return layer, proj
 

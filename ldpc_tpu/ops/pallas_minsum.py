@@ -91,8 +91,14 @@ def _roll(x: Array, s: int, Z: int) -> Array:
     return jnp.concatenate([x[Z - s :], x[: Z - s]], axis=0)
 
 
+def _phi(x):
+    """phi(x) = -log(tanh(x/2)), self-inverse; same constants as
+    ops/qc_msg.check_update_sumproduct for cross-implementation parity."""
+    return -jnp.log(jnp.tanh(x / 2.0) + 1e-30)
+
+
 def _kernel(llr_ref, bits_ref, conv_ref, c2v, beliefs, frozen, conv_buf, *, st: _Structure,
-            max_iterations: int, alpha: float):
+            max_iterations: int, alpha: float, mode: str = "minsum"):
     Z, K, C, R = st.Z, st.K, st.C, st.R
     Bt = llr_ref.shape[1]
 
@@ -113,27 +119,45 @@ def _kernel(llr_ref, bits_ref, conv_ref, c2v, beliefs, frozen, conv_buf, *, st: 
         for r in range(R):
             members = st.row_members[r]
             rolled = []
-            m1 = jnp.full((Z, Bt), _BIG, jnp.float32)
-            m2 = jnp.full((Z, Bt), _BIG, jnp.float32)
-            sp = jnp.ones((Z, Bt), jnp.float32)
-            for k in members:
-                v2c = beliefs[ez(st.cols[k])] - c2v[ez(k)]
-                # check-aligned view: msg[z_r] = v2c_var[(z_r + s_k) % Z]
-                x = _roll(v2c, -st.shifts[k], Z)
-                rolled.append(x)
-                sgn = jnp.where(x < 0, -1.0, 1.0)
-                mag = jnp.abs(x)
-                sp = sp * sgn
-                new_min = jnp.minimum(mag, m1)
-                m2 = jnp.minimum(jnp.maximum(mag, m1), m2)
-                m1 = new_min
-            for k, x in zip(members, rolled):
-                sgn = jnp.where(x < 0, -1.0, 1.0)
-                mag = jnp.abs(x)
-                loo = jnp.where(mag > m1, m1, m2)
-                loo = jnp.where(loo < _BIG, loo, 0.0)
-                out = alpha * sp * sgn * loo
-                c2v[ez(k)] = _roll(out, st.shifts[k], Z)
+            if mode == "minsum":
+                m1 = jnp.full((Z, Bt), _BIG, jnp.float32)
+                m2 = jnp.full((Z, Bt), _BIG, jnp.float32)
+                sp = jnp.ones((Z, Bt), jnp.float32)
+                for k in members:
+                    v2c = beliefs[ez(st.cols[k])] - c2v[ez(k)]
+                    # check-aligned view: msg[z_r] = v2c_var[(z_r + s_k) % Z]
+                    x = _roll(v2c, -st.shifts[k], Z)
+                    rolled.append(x)
+                    sgn = jnp.where(x < 0, -1.0, 1.0)
+                    mag = jnp.abs(x)
+                    sp = sp * sgn
+                    new_min = jnp.minimum(mag, m1)
+                    m2 = jnp.minimum(jnp.maximum(mag, m1), m2)
+                    m1 = new_min
+                for k, x in zip(members, rolled):
+                    sgn = jnp.where(x < 0, -1.0, 1.0)
+                    mag = jnp.abs(x)
+                    loo = jnp.where(mag > m1, m1, m2)
+                    loo = jnp.where(loo < _BIG, loo, 0.0)
+                    out = alpha * sp * sgn * loo
+                    c2v[ez(k)] = _roll(out, st.shifts[k], Z)
+            else:  # sum-product: leave-one-out via phi-domain sums
+                phi_sum = jnp.zeros((Z, Bt), jnp.float32)
+                sp = jnp.ones((Z, Bt), jnp.float32)
+                phis = []
+                for k in members:
+                    v2c = beliefs[ez(st.cols[k])] - c2v[ez(k)]
+                    x = _roll(v2c, -st.shifts[k], Z)
+                    sgn = jnp.where(x < 0, -1.0, 1.0)
+                    ph = _phi(jnp.clip(jnp.abs(x), 1e-7, 20.0))
+                    rolled.append(sgn)
+                    phis.append(ph)
+                    phi_sum = phi_sum + ph
+                    sp = sp * sgn
+                for k, sgn, ph in zip(members, rolled, phis):
+                    loo = jnp.maximum(phi_sum - ph, 1e-7)
+                    out = sp * sgn * _phi(loo)
+                    c2v[ez(k)] = _roll(out, st.shifts[k], Z)
 
         # ---- beliefs, bits, syndrome, convergence tracking ---------------
         viol = jnp.zeros((1, Bt), jnp.float32)
@@ -177,18 +201,22 @@ def make_fused_minsum(
     alpha: float = 0.75,
     batch_tile: int = 128,
     interpret: bool = False,
+    mode: str = "minsum",
 ):
     """Build the fused decoder: (B, n) LLRs -> (bits (B, n), conv_iter (B,)).
 
     ``batch_tile`` lanes of the batch decode per grid step with all state in
     VMEM (about (2K + 4C) * Z * 4 bytes per lane; ~10 MB at Z=32 tile 128).
     ``interpret=True`` runs the Pallas interpreter (CPU tests).
+    ``mode``: "minsum" (scaled, uses alpha) or "sumproduct" (BP).
     """
     st = _structure(qc)
     Z, C, K = st.Z, st.C, st.K
     n = C * Z
 
-    kernel = functools.partial(_kernel, st=st, max_iterations=max_iterations, alpha=alpha)
+    kernel = functools.partial(
+        _kernel, st=st, max_iterations=max_iterations, alpha=alpha, mode=mode
+    )
 
     @jax.jit
     def decode(llr: Array):
@@ -225,3 +253,16 @@ def make_fused_minsum(
         return bits[:B], conv[0, :B].astype(jnp.int32)
 
     return decode
+
+
+def make_fused_bp(
+    qc: QCLayout,
+    max_iterations: int = 50,
+    batch_tile: int = 128,
+    interpret: bool = False,
+):
+    """Fused sum-product (belief propagation) decoder — see make_fused_minsum."""
+    return make_fused_minsum(
+        qc, max_iterations, alpha=1.0, batch_tile=batch_tile, interpret=interpret,
+        mode="sumproduct",
+    )

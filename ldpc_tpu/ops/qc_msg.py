@@ -52,6 +52,10 @@ _BIG = 1e9
         "row_valid",
         "col_incidence",
         "edge_check_var_aligned",
+        "row_incidence",
+        "edge_row",
+        "roll_to_check",
+        "roll_to_var",
     ],
     meta_fields=["Z", "R", "C", "K", "dr_max", "num_edge_types"],
 )
@@ -76,6 +80,10 @@ class QCPlan:
     row_valid: Array  # (R, dr_max) bool
     col_incidence: Array  # (C, K) f32
     edge_check_var_aligned: Array  # (K*Z,) flat idx into (R*Z): my check node
+    row_incidence: Array  # (R, K) f32
+    edge_row: Array  # (K,)
+    roll_to_check: Array  # (K, Z): var-aligned -> check-aligned lane index
+    roll_to_var: Array  # (K, Z): check-aligned -> var-aligned lane index
 
 
 def make_plan(qc: QCLayout) -> QCPlan:
@@ -83,6 +91,10 @@ def make_plan(qc: QCLayout) -> QCPlan:
     Z = qc.Z
     zc = np.arange(Z)[None, :]
     chk = qc.edge_row[:, None] * Z + (zc - qc.edge_shift[:, None]) % Z
+    row_inc = np.zeros((qc.num_base_rows, qc.num_base_edges), dtype=np.float32)
+    row_inc[qc.edge_row, np.arange(qc.num_base_edges)] = 1.0
+    roll_to_check = ((zc + qc.edge_shift[:, None]) % Z).astype(np.int32)  # (K, Z)
+    roll_to_var = ((zc - qc.edge_shift[:, None]) % Z).astype(np.int32)
     return QCPlan(
         Z=Z,
         R=qc.num_base_rows,
@@ -97,6 +109,10 @@ def make_plan(qc: QCLayout) -> QCPlan:
         row_valid=jnp.asarray(qc.row_edges != qc.num_base_edges),
         col_incidence=jnp.asarray(qc.col_incidence),
         edge_check_var_aligned=jnp.asarray(chk.reshape(-1).astype(np.int32)),
+        row_incidence=jnp.asarray(row_inc),
+        edge_row=jnp.asarray(qc.edge_row),
+        roll_to_check=jnp.asarray(roll_to_check),
+        roll_to_var=jnp.asarray(roll_to_var),
     )
 
 
@@ -265,27 +281,38 @@ def syndrome_ok(bits_cz: Array, plan: QCPlan) -> Array:
 
 
 def var_group_mean(feats: Array, plan: QCPlan) -> Array:
-    """Mean over messages sharing my variable: (K, Z, B, H) -> (K, Z, B, H)."""
+    """Mean over messages sharing my variable: (K, Z, B, H) -> (K, Z, B, H).
+
+    Computes in the input dtype (bf16 traffic, f32 accumulation on the MXU).
+    """
     K, Z, B, H = feats.shape
+    inc = plan.col_incidence.astype(feats.dtype)
     sums = jnp.matmul(
-        plan.col_incidence, feats.reshape(K, Z * B * H), preferred_element_type=jnp.float32
+        inc, feats.reshape(K, Z * B * H), preferred_element_type=jnp.float32
     ).reshape(plan.C, Z, B, H)
     counts = plan.col_incidence.sum(axis=1)[:, None, None, None]
-    mean = sums / jnp.maximum(counts, 1.0)
+    mean = (sums / jnp.maximum(counts, 1.0)).astype(feats.dtype)
     return mean[plan.edge_col]
 
 
 def check_group_mean(feats: Array, plan: QCPlan) -> Array:
-    """Mean over messages sharing my check: (K, Z, B, H) -> (K, Z, B, H)."""
+    """Mean over messages sharing my check: (K, Z, B, H) -> (K, Z, B, H).
+
+    Roll-to-check-alignment + incidence matmul + distribute + roll back:
+    unlike a padded (R, dr_max, ...) gather this never materializes the
+    2.1x-padded expansion, and the K-reduction rides the MXU.  Computes in
+    the input dtype; sums accumulate in f32.
+    """
     K, Z, B, H = feats.shape
-    padded = jnp.concatenate(
-        [feats.reshape(K * Z, B * H), jnp.zeros((1, B * H), feats.dtype)], axis=0
-    )
-    grouped = padded[plan.row_gather_var].reshape(plan.R, plan.dr_max, Z, B * H)
-    counts = plan.row_valid.sum(axis=1).astype(feats.dtype)[:, None, None]
-    rowmean = grouped.sum(axis=1) / jnp.maximum(counts, 1.0)  # (R, Z, B*H)
-    out = rowmean.reshape(plan.R * Z, B * H)[plan.edge_check_var_aligned]
-    return out.reshape(K, Z, B, H)
+    rolled = jnp.take_along_axis(feats, plan.roll_to_check[:, :, None, None], axis=1)
+    inc = plan.row_incidence.astype(feats.dtype)
+    rowsum = jnp.matmul(
+        inc, rolled.reshape(K, Z * B * H), preferred_element_type=jnp.float32
+    ).reshape(plan.R, Z, B, H)
+    counts = plan.row_incidence.sum(axis=1)[:, None, None, None]
+    rowmean = (rowsum / jnp.maximum(counts, 1.0)).astype(feats.dtype)
+    per_edge_chk = rowmean[plan.edge_row]  # (K, Z, B, H) check-aligned
+    return jnp.take_along_axis(per_edge_chk, plan.roll_to_var[:, :, None, None], axis=1)
 
 
 # ---------------------------------------------------------------------------

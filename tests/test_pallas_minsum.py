@@ -41,3 +41,20 @@ def test_batch_padding():
     assert bits.shape == (5, n)
     ref = decode_min_sum(llr, plan, 6, 0.75)
     np.testing.assert_array_equal(np.asarray(bits), np.asarray(ref.bits))
+
+
+def test_bp_mode_matches_xla_decoder():
+    from ldpc_tpu.models.classical import decode_bp
+    from ldpc_tpu.ops.pallas_minsum import make_fused_bp
+
+    qc = qc_layout(get_base_graph("nr_2_0_4"), 4)
+    plan = qc_msg.make_plan(qc)
+    n = plan.C * plan.Z
+    llr = bpsk_awgn_llr(jax.random.PRNGKey(2), jnp.zeros((16, n)), 1.0)
+    fused = make_fused_bp(qc, max_iterations=8, batch_tile=8, interpret=True)
+    bits, conv = fused(llr)
+    ref = decode_bp(llr, plan, 8)
+    b1, b2 = np.asarray(bits), np.asarray(ref.bits)
+    assert (b1 == b2).mean() >= 0.999
+    c1, c2 = np.asarray(conv), np.asarray(ref.conv_iter)
+    assert (np.abs(c1 - c2) <= 1).all()
