@@ -33,7 +33,7 @@ def main() -> None:
     args = ap.parse_args()
 
     from ldpc_tpu.codes import encoder_from_H, expand_base_matrix, get_base_graph, qc_layout
-    from ldpc_tpu.models import make_standard_decoder, make_tied_decoder
+    from ldpc_tpu.models.neural_min_sum import NeuralMinSumDecoder
     from ldpc_tpu.models.message_gnn import create_message_gnn_decoder
     from ldpc_tpu.ops import qc_msg
     from ldpc_tpu.training import LDPCDecoderTrainer
@@ -44,7 +44,7 @@ def main() -> None:
     out.mkdir(parents=True, exist_ok=True)
     trials = 4 if args.quick else 50
     batch = 64 if args.quick else 256
-    epochs = 20 if args.quick else 400
+    epochs = 20 if args.quick else 250
     snrs = [-4, -2, 0, 2] if args.quick else [-6, -5, -4, -3, -2, -1, 0, 1, 2]
 
     # ---------------- NR_2_0_4 with trained neural decoders ----------------
@@ -53,20 +53,27 @@ def main() -> None:
     plan4 = qc_msg.make_plan(qc4)
     enc4 = encoder_from_H(expand_base_matrix(bg4, 4))
 
-    def train(model, name, **kw):
+    def train(model, name, n_epochs=None, **kw):
+        # Training recipe (differs from the reference's SGD + weight decay +
+        # max-BCE, which measurably *hurts* these models — weight decay drags
+        # w_ch off its optimum and max-BCE is dominated by unrecoverable
+        # low-SNR frames): Adam, no decay, mean-BCE, codeword batches.
         tr = LDPCDecoderTrainer(model, plan4, seed=0, encoder=enc4)
         t0 = time.time()
-        tr.train(num_epochs=epochs, batch_size=128, learning_rate=kw.pop("lr", 1e-3),
-                 snr_range=[-4.0, -2.0, 0.0, 2.0], validation_interval=10**9,
-                 data_mode="random_codewords", **kw)
+        tr.train(num_epochs=n_epochs or epochs, batch_size=256,
+                 learning_rate=kw.pop("lr", 3e-3),
+                 snr_range=[-3.0, -2.0, -1.0, 0.0, 1.0], validation_interval=10**9,
+                 data_mode="random_codewords", optimizer="adam", weight_decay=0.0, **kw)
         print(f"trained {name}: loss {tr.train_losses[0]:.4f} -> {tr.train_losses[-1]:.4f} "
               f"({time.time() - t0:.0f}s)", flush=True)
         return tr
 
-    std = train(make_standard_decoder(num_iterations=5, depth_L=2), "standard")
-    tied = train(make_tied_decoder(num_iterations=5, depth_L=2, sharing="cell"), "tied")
-    gnn = train(create_message_gnn_decoder(plan4, num_iterations=5, hidden_dim=32),
-                "message_gnn", lr=1e-3, optimizer="adam")
+    std = train(NeuralMinSumDecoder(num_iterations=5, depth_L=2, weight_sharing="edge",
+                                    learnable_alpha=True, loss_mode="mean"), "standard")
+    tied = train(NeuralMinSumDecoder(num_iterations=5, depth_L=2, weight_sharing="cell",
+                                     learnable_alpha=True, loss_mode="mean"), "tied")
+    gnn = train(create_message_gnn_decoder(plan4, num_iterations=5, hidden_dim=64),
+                "message_gnn", lr=1e-3, n_epochs=epochs * 2)
 
     std.save_model(out / "standard_nr_2_0_4.msgpack")
     tied.save_model(out / "tied_nr_2_0_4.msgpack")
