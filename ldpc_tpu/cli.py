@@ -56,6 +56,9 @@ def _setup(cfg: Config):
     return bg, qc, qc_msg.make_plan(qc)
 
 
+
+
+
 def make_model(cfg: Config, plan):
     """Model factory (reference ``create_model`` main.py:62-82, extended to
     the full family)."""
@@ -146,14 +149,23 @@ def cmd_evaluate(cfg: Config) -> None:
 
 
 def cmd_compare(cfg: Config) -> None:
+    """Compare classical + neural decoders (the run_comparison.py /
+    run_comparison_all.py capability: multiple model types via
+    --compare-models, fresh-model fallback when no checkpoint exists,
+    parameter counts in the results)."""
     from ldpc_tpu.training.evaluator import ComparativeEvaluator
 
-    _, _, plan = _setup(cfg)
+    bg, qc, plan = _setup(cfg)
     mesh = None
     if cfg.mesh_data:
         from ldpc_tpu.parallel import make_mesh
 
         mesh = make_mesh(data=cfg.mesh_data, model=cfg.mesh_model)
+    encoder = None
+    if cfg.random_codewords:
+        from ldpc_tpu.codes import encoder_from_H, expand_base_matrix
+
+        encoder = encoder_from_H(expand_base_matrix(bg, cfg.lifting_factor))
     ev = ComparativeEvaluator(
         plan,
         snr_range=cfg.eval_snr_range(),
@@ -162,14 +174,23 @@ def cmd_compare(cfg: Config) -> None:
         mesh=mesh,
         modulation=cfg.modulation,
         convention=cfg.convention,
+        encoder=encoder,
     )
     ev.add_belief_propagation(cfg.bp_max_iterations)
     ev.add_min_sum(cfg.bp_max_iterations, cfg.ms_scaling_factor)
-    if Path(cfg.model_path).exists():
-        tr = _trainer(cfg, plan)
-        tr.load_model(cfg.model_path)
-        ev.add_model(f"Neural ({cfg.model_type})", tr.model, tr.params)
-        print(f"loaded neural model from {cfg.model_path}")
+    model_types = [m for m in cfg.compare_models.split(",") if m] or [cfg.model_type]
+    for mt in model_types:
+        sub = cfg.replace(model_type=mt)
+        tr = _trainer(sub, plan)
+        path = Path(cfg.model_path)
+        mt_path = path if len(model_types) == 1 else path.with_name(f"{mt}_{path.name}")
+        if mt_path.exists():
+            tr.load_model(mt_path)
+            print(f"loaded {mt} model from {mt_path}")
+        else:
+            # fresh-model fallback, as run_comparison_all.py:88-143
+            print(f"no checkpoint at {mt_path} — using fresh {mt} model")
+        ev.add_model(f"Neural ({mt})", tr.model, tr.params)
     ev.evaluate_all(log=print)
     ev.print_summary()
     out = Path(cfg.results_dir) / "comparison_results.json"

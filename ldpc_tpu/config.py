@@ -48,6 +48,8 @@ class Config:
     bp_max_iterations: int = 50
     ms_scaling_factor: float = 0.75
     compare_with_traditional: bool = False
+    compare_models: str = ""  # comma-separated model types for multi-model compare
+    random_codewords: bool = False  # evaluate on encoder-generated codewords
     # parallel
     mesh_data: int = 0  # 0 = all devices
     mesh_model: int = 1

@@ -114,3 +114,41 @@ class TestCLI:
         with pytest.raises(SystemExit):
             cli_main(["train", "--model-type", "nope", "--base-graph", "toy_4x8",
                       "--lifting-factor", "4", "--num-epochs", "1"])
+
+
+class TestMultiModelCompare:
+    def test_compare_models_flag(self, tmp_path, capsys):
+        cli_main([
+            "compare",
+            "--base-graph", "toy_4x8", "--lifting-factor", "4",
+            "--compare-models", "standard,tied,message_gnn",
+            "--num-trials", "1", "--batch-size", "8",
+            "--snr-min", "2", "--snr-max", "4", "--eval-snr-step", "2",
+            "--bp-max-iterations", "5", "--random-codewords",
+            "--results-dir", str(tmp_path),
+        ])
+        out = capsys.readouterr().out
+        assert "fresh standard model" in out
+        import json
+        res = json.loads((tmp_path / "comparison_results.json").read_text())
+        assert len(res["decoders"]) == 5  # BP + MS + 3 neural
+
+
+def test_notebook_converter(tmp_path):
+    import sys
+    sys.path.insert(0, "tools")
+    from convert_notebook import create_directory_structure, extract_code_cells
+    import json as _json
+
+    nb = {"cells": [
+        {"cell_type": "markdown", "source": ["# hi"]},
+        {"cell_type": "code", "source": ["x = 1\n", "print(x)"]},
+        {"cell_type": "code", "source": ["y = 2"]},
+    ]}
+    p = tmp_path / "nb.ipynb"
+    p.write_text(_json.dumps(nb))
+    cells = extract_code_cells(p)
+    assert len(cells) == 2 and "x = 1" in cells[0]
+    written = create_directory_structure(tmp_path / "out", cells)
+    assert len(written) == 2
+    assert (tmp_path / "out" / "__init__.py").exists()
