@@ -67,25 +67,36 @@ class NeuralMinSumDecoder(nn.Module):
     depth_L: int = 2
     weight_sharing: WeightSharing = "edge"
     learnable_alpha: bool = False
+    learnable_offset: bool = False  # offset min-sum beta (arXiv:1701.05931)
+    per_iteration: bool = False  # untied weights per iteration (Nachmani et al.)
     output_mode: Literal["sum_plus_input", "mean_edges"] = "sum_plus_input"
     loss_mode: Literal["max", "mean"] = "max"
 
+    def _iters_dim(self) -> tuple[int, ...]:
+        return (self.num_iterations,) if self.per_iteration else ()
+
     def _w_ch(self, plan: QCPlan) -> Array:
-        """Channel weight broadcast to var-aligned (K, Z, 1)."""
+        """Channel weight broadcast to ([T,] K, Z, 1); T when per-iteration."""
+        lead = self._iters_dim()
         if self.weight_sharing == "edge":
-            w = self.param("w_ch", nn.initializers.ones, (plan.K, plan.Z))
+            w = self.param("w_ch", nn.initializers.ones, lead + (plan.K, plan.Z))
         elif self.weight_sharing == "cell":
-            w = self.param("w_ch", nn.initializers.ones, (plan.K,))[:, None]
-            w = jnp.broadcast_to(w, (plan.K, plan.Z))
+            w = self.param("w_ch", nn.initializers.ones, lead + (plan.K,))[..., :, None]
+            w = jnp.broadcast_to(w, lead + (plan.K, plan.Z))
         elif self.weight_sharing == "type":
-            wt = self.param("w_ch", nn.initializers.ones, (plan.num_edge_types,))
-            w = wt[plan.edge_type][:, None]
-            w = jnp.broadcast_to(w, (plan.K, plan.Z))
+            wt = self.param("w_ch", nn.initializers.ones, lead + (plan.num_edge_types,))
+            w = wt[..., plan.edge_type][..., :, None]
+            w = jnp.broadcast_to(w, lead + (plan.K, plan.Z))
         elif self.weight_sharing == "scalar":
-            w = jnp.broadcast_to(self.param("w_ch", nn.initializers.ones, ()), (plan.K, plan.Z))
+            w = jnp.broadcast_to(
+                self.param("w_ch", nn.initializers.ones, lead)[..., None, None]
+                if lead
+                else self.param("w_ch", nn.initializers.ones, ()),
+                lead + (plan.K, plan.Z),
+            )
         else:
             raise ValueError(f"unknown weight_sharing {self.weight_sharing!r}")
-        return w[:, :, None]
+        return w[..., :, :, None]
 
     @nn.compact
     def __call__(self, llr: Array, plan: QCPlan, ground_truth: Array | None = None):
@@ -100,34 +111,45 @@ class NeuralMinSumDecoder(nn.Module):
         llr_cz = qc_msg.llr_to_cz(llr, plan)  # (C, Z, B)
         edge_llr = llr_cz[plan.edge_col]  # (K, Z, B) per-edge channel copies
 
+        lead = self._iters_dim()
         w_ch = self._w_ch(plan)
         # Residual taps start at 0 (the reference initializes them to 1,
         # layers.py:141, which *degrades* the decoder below classical
         # min-sum until trained; zero init starts exactly at classical
         # performance and training can only improve from there).
-        w_res = self.param("w_res", nn.initializers.zeros, (self.depth_L,))
+        w_res = self.param("w_res", nn.initializers.zeros, lead + (self.depth_L,))
         alpha = (
-            self.param("alpha", nn.initializers.constant(0.8), ())
+            self.param("alpha", nn.initializers.constant(0.8), lead)
             if self.learnable_alpha
-            else 1.0
+            else (jnp.ones(lead) if lead else 1.0)
+        )
+        offset = (
+            self.param("offset", nn.initializers.zeros, lead)
+            if self.learnable_offset
+            else (jnp.zeros(lead) if lead else 0.0)
         )
 
-        def step(carry, _):
+        def step(carry, xs):
+            w_ch_t, w_res_t, alpha_t, offset_t = xs
             q_prev, fifo = carry  # q: (K,Z,B); fifo: (L,K,Z,B) newest first
-            c2v = qc_msg.check_update_minsum(q_prev, plan, alpha=alpha)
+            c2v = qc_msg.check_update_minsum(q_prev, plan, alpha=alpha_t, offset=offset_t)
             # Leave-one-out sum of check messages per edge + weighted channel
             # LLR + residual taps (notebook cell 11 variable_layer_update).
             colsum = qc_msg.col_sum(c2v, plan)
             loo = colsum[plan.edge_col] - c2v
-            res = jnp.tensordot(w_res, fifo, axes=1) if self.depth_L else 0.0
-            q = loo + w_ch * edge_llr + res
+            res = jnp.tensordot(w_res_t, fifo, axes=1) if self.depth_L else 0.0
+            q = loo + w_ch_t * edge_llr + res
             fifo = jnp.concatenate([q[None], fifo[:-1]], axis=0) if self.depth_L else fifo
             return (q, fifo), c2v
 
+        T = self.num_iterations
+        if self.per_iteration:
+            xs = (w_ch, w_res, alpha, offset)
+        else:
+            tile = lambda x: jnp.broadcast_to(jnp.asarray(x)[None], (T,) + jnp.shape(x))
+            xs = (tile(w_ch), tile(w_res), tile(jnp.asarray(alpha)), tile(jnp.asarray(offset)))
         fifo0 = jnp.zeros((self.depth_L, plan.K, plan.Z, B), llr.dtype)
-        (_, _), c2v_all = jax.lax.scan(
-            step, (edge_llr, fifo0), None, length=self.num_iterations
-        )
+        (_, _), c2v_all = jax.lax.scan(step, (edge_llr, fifo0), xs, length=T)
         c2v_final = c2v_all[-1]
 
         if self.output_mode == "sum_plus_input":

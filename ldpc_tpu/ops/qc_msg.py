@@ -193,13 +193,18 @@ def _signs_and_mags(grouped: Array, valid: Array):
     return sign, mag
 
 
-def check_update_minsum(v2c_var: Array, plan: QCPlan, alpha=1.0) -> Array:
-    """Scaled min-sum check update, leave-one-out via min / second-min.
+def check_update_minsum(v2c_var: Array, plan: QCPlan, alpha=1.0, offset=0.0) -> Array:
+    """Scaled / offset min-sum check update, leave-one-out via min / 2nd-min.
 
     Equivalent to the reference's per-edge min/2nd-min tracking
     (`traditional_decoders.py:207-232`) but O(d) per check via a single
     min+argmin pass: for the arg-min edge the excluded minimum is the second
     minimum, for every other edge it is the minimum.
+
+    ``offset``: offset-min-sum correction |c2v| = max(min - offset, 0)
+    (Fossorier's OMS; the learnable-offset form of Lugosch & Gross, "Neural
+    Offset Min-Sum Decoding", arXiv:1701.05931).  alpha and offset compose:
+    c2v = alpha * sign * max(min_loo - offset, 0).
     """
     grouped = group_to_check(v2c_var, plan)  # (R, D, Z, B)
     valid = plan.row_valid[:, :, None, None]
@@ -217,6 +222,7 @@ def check_update_minsum(v2c_var: Array, plan: QCPlan, alpha=1.0) -> Array:
     # Mask BEFORE the multiply: no sentinel-scale value may enter a product,
     # or fused backward passes can manufacture inf*0 = NaN.
     loo_mag = jnp.where(valid & (loo_mag < _BIG), loo_mag, 0.0)
+    loo_mag = jnp.maximum(loo_mag - offset, 0.0)
     c2v = alpha * loo_sign * loo_mag
     return ungroup_to_var(c2v, plan)
 

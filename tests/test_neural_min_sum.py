@@ -133,3 +133,44 @@ class TestTraining:
         )
         assert chex_equal
         assert list(t2.train_losses) == pytest.approx(list(t1.train_losses))
+
+
+class TestExtensions:
+    def test_offset_minsum_matches_classical_with_zero_offset(self, plan, rng):
+        from ldpc_tpu.ops.qc_msg import check_update_minsum
+
+        v2c = jnp.asarray(rng.normal(size=(plan.K, plan.Z, 4)).astype(np.float32))
+        a = check_update_minsum(v2c, plan, alpha=0.75, offset=0.0)
+        b = check_update_minsum(v2c, plan, alpha=0.75)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # positive offset shrinks magnitudes, clamped at zero
+        c = check_update_minsum(v2c, plan, alpha=1.0, offset=0.3)
+        assert float(jnp.abs(c).max()) <= float(jnp.abs(
+            check_update_minsum(v2c, plan, alpha=1.0)).max())
+
+    def test_per_iteration_weights_shapes(self, plan):
+        model = NeuralMinSumDecoder(num_iterations=4, depth_L=2, weight_sharing="cell",
+                                    per_iteration=True, learnable_alpha=True,
+                                    learnable_offset=True)
+        params = _init(model, plan)["params"]
+        assert params["w_ch"].shape == (4, plan.K)
+        assert params["w_res"].shape == (4, 2)
+        assert params["alpha"].shape == (4,)
+        assert params["offset"].shape == (4,)
+
+    def test_per_iteration_equals_shared_at_init(self, plan, rng):
+        llr = jnp.asarray(rng.normal(size=(4, plan.C * plan.Z)).astype(np.float32) * 2)
+        shared = NeuralMinSumDecoder(num_iterations=3, depth_L=2, weight_sharing="scalar")
+        tied_t = NeuralMinSumDecoder(num_iterations=3, depth_L=2, weight_sharing="scalar",
+                                     per_iteration=True)
+        s1, _ = shared.apply(_init(shared, plan), llr, plan)
+        s2, _ = tied_t.apply(_init(tied_t, plan), llr, plan)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+
+    def test_per_iteration_trains(self, plan):
+        model = NeuralMinSumDecoder(num_iterations=3, depth_L=1, weight_sharing="type",
+                                    per_iteration=True, learnable_alpha=True)
+        tr = LDPCDecoderTrainer(model, plan, seed=0)
+        tr.train(num_epochs=5, batch_size=16, learning_rate=0.01, snr_range=[3.0],
+                 validation_interval=100)
+        assert all(np.isfinite(tr.train_losses))
