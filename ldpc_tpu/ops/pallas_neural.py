@@ -3,14 +3,20 @@
 Serving path: a trained :class:`~ldpc_tpu.models.neural_min_sum.
 NeuralMinSumDecoder` is a classical min-sum loop plus per-edge channel
 weights, residual taps, and alpha/offset corrections — all *constants* at
-inference time.  This kernel bakes them into the VMEM-resident decode loop
-of :mod:`ldpc_tpu.ops.pallas_minsum`, so a trained model decodes at the
-same Gbit/s-class throughput as the classical kernel instead of the XLA
-scan path.
+inference time.  This kernel runs the same VMEM-resident decode loop as
+:mod:`ldpc_tpu.ops.pallas_minsum` with those weights applied, so a trained
+model decodes at Gbit/s-class throughput instead of the XLA scan path.
 
-Iterations are unrolled at trace time (supports per-iteration weights);
-scalar weights fold into instruction immediates, per-edge weights become
-small VMEM constants.
+Weight plumbing (uniform for shared and per-iteration weights):
+
+* per-edge channel weights -> a ``(T*Z, K)`` VMEM input, sliced
+  ``[t*Z : (t+1)*Z, k]`` per edge per iteration;
+* alpha / offset / residual taps -> small SMEM arrays indexed by the
+  iteration counter inside a ``fori_loop`` (the loop body is traced once —
+  a fully unrolled variant blows past the Mosaic stack allocator).
+
+The residual FIFO's newest slot doubles as the v2c message buffer (q), so
+depth-2 models fit the 16 MB VMEM at the full 128-lane batch tile.
 """
 from __future__ import annotations
 
@@ -26,60 +32,50 @@ from ldpc_tpu.ops.pallas_minsum import _BIG, _roll, _structure
 Array = jax.Array
 
 
-def _extract_weights(qc: QCLayout, params, num_iterations: int, depth_L: int,
-                     per_iteration: bool):
-    """Flax params -> per-iteration numpy weights, broadcast per base edge.
+def _pack_weights(qc: QCLayout, params, num_iterations: int, depth_L: int,
+                  per_iteration: bool):
+    """Flax params -> dense per-iteration arrays.
 
-    Returns (w_ch[T][k] -> scalar or (Z,) array, w_res[T] (L,), alpha[T],
-    offset[T]).
+    Returns (w_cols (T*Z, K), w_res (T, max(L,1)), alpha (T,), offset (T,)).
     """
     p = params["params"] if "params" in params else params
     K, Z = qc.num_base_edges, qc.Z
     T = num_iterations
 
-    w_ch = np.asarray(p["w_ch"], np.float32)
-    w_res = np.asarray(p.get("w_res", np.zeros((depth_L,))), np.float32)
-    alpha = np.asarray(p.get("alpha", 1.0), np.float32)
-    offset = np.asarray(p.get("offset", 0.0), np.float32)
-
-    if not per_iteration:
-        w_ch_t = [w_ch] * T
-        w_res_t = [w_res] * T
-        alpha_t = [float(alpha)] * T
-        offset_t = [float(offset)] * T
-    else:
-
-        def at(x, t):  # missing (scalar) params broadcast across iterations
-            x = np.atleast_1d(x)
-            return float(x[t] if x.shape[0] == T else x[0])
-
-        w_ch_t = [w_ch[t] for t in range(T)]
-        w_res_t = [w_res[t] for t in range(T)]
-        alpha_t = [at(alpha, t) for t in range(T)]
-        offset_t = [at(offset, t) for t in range(T)]
-
-    def edge_weights(w):
-        """Per base edge: Python float (baked constant) or the string "input"
-        (per-edge (Z,) vectors too big for immediates — passed as a kernel
-        input instead, Pallas forbids captured array constants)."""
+    def expand_edge(w):
+        """One iteration's channel weights -> (K, Z)."""
         w = np.asarray(w, np.float32)
         if w.shape == (K, Z):
-            return ["input"] * K
+            return w
         if w.shape == (K,):
-            return [float(w[k]) for k in range(K)]
-        if w.ndim == 1:  # per-type
-            return [float(w[t]) for t in qc.edge_type]
+            return np.repeat(w[:, None], Z, axis=1)
+        if w.ndim == 1:  # per shift type
+            return np.repeat(w[qc.edge_type][:, None], Z, axis=1)
         if w.ndim == 0:
-            return [float(w)] * K
+            return np.full((K, Z), float(w), np.float32)
         raise ValueError(f"unsupported w_ch shape {w.shape}")
 
-    # Dense per-iteration (T, K, Z) weight tensor for the "edge" case.
-    w_dense = None
-    if w_ch_t[0].shape == (K, Z) if hasattr(w_ch_t[0], "shape") else False:
-        pass
-    if np.asarray(w_ch_t[0]).shape == (K, Z):
-        w_dense = np.stack([np.asarray(w, np.float32) for w in w_ch_t])  # (T, K, Z)
-    return ([edge_weights(w) for w in w_ch_t], w_res_t, alpha_t, offset_t, w_dense)
+    def per_t(name, default):
+        x = np.asarray(p.get(name, default), np.float32)
+        if per_iteration and x.ndim >= 1 and x.shape[0] == T:
+            return [x[t] for t in range(T)]
+        return [x] * T
+
+    w_ch_t = per_t("w_ch", 1.0)
+    w_res_t = per_t("w_res", np.zeros((depth_L,), np.float32))
+    alpha_t = per_t("alpha", 1.0)
+    offset_t = per_t("offset", 0.0)
+
+    w_full = np.stack([expand_edge(w) for w in w_ch_t])  # (T, K, Z)
+    w_cols = np.ascontiguousarray(w_full.transpose(0, 2, 1).reshape(T * Z, K))
+    L = max(depth_L, 1)
+    w_res = np.zeros((T, L), np.float32)
+    for t in range(T):
+        r = np.atleast_1d(w_res_t[t])
+        w_res[t, : min(r.shape[0], L)] = r[:L]
+    alpha = np.array([float(a) for a in alpha_t], np.float32)
+    offset = np.array([float(o) for o in offset_t], np.float32)
+    return w_cols, w_res, alpha, offset
 
 
 def make_fused_neural_minsum(
@@ -87,48 +83,43 @@ def make_fused_neural_minsum(
     params,
     num_iterations: int = 5,
     depth_L: int = 2,
-    batch_tile: int = 64,
+    batch_tile: int = 128,
     interpret: bool = False,
     per_iteration: bool = False,
 ):
     """Build a fused inference decoder for a trained NeuralMinSumDecoder.
 
     (B, n) LLRs -> (B, n) hard bits.  Output semantics follow
-    ``output_mode="sum_plus_input"``.  ``batch_tile`` defaults lower than
-    the classical kernel because the residual FIFO adds ``depth_L`` extra
-    (K*Z, tile) VMEM buffers.
+    ``output_mode="sum_plus_input"``.
     """
     st = _structure(qc)
     Z, C, K = st.Z, st.C, st.K
     n = C * Z
-    w_ch_t, w_res_t, alpha_t, offset_t, w_dense = _extract_weights(
-        qc, params, num_iterations, depth_L, per_iteration
-    )
-    has_w_input = w_dense is not None
     T = num_iterations
+    w_cols, w_res_arr, alpha_arr, offset_arr = _pack_weights(
+        qc, params, T, depth_L, per_iteration
+    )
+    L = w_res_arr.shape[1]
 
-    def kernel(llr_ref, *args):
-        if has_w_input:
-            w_ref, bits_ref, c2v, q, *fifo = args
-        else:
-            w_ref, (bits_ref, c2v, q, *fifo) = None, args
+    def kernel(llr_ref, w_ref, alpha_ref, offset_ref, wres_ref, bits_ref, c2v, *fifo_and_q):
+        # q aliases fifo[0]: the newest residual slot IS the current v2c.
+        q = fifo_and_q[0]
+        fifo = list(fifo_and_q) if depth_L else []
         Bt = llr_ref.shape[1]
 
         def ez(k):
             return slice(k * Z, (k + 1) * Z)
 
         c2v[:] = jnp.zeros_like(c2v)
-        # init q = per-edge channel LLR copies
+        for f in fifo[1:]:
+            f[:] = jnp.zeros_like(f)
         for k in range(K):
             q[ez(k)] = llr_ref[ez(st.cols[k])]
-        for f in fifo:
-            f[:] = jnp.zeros_like(f)
 
-        for t in range(num_iterations):
-            alpha, offset = alpha_t[t], offset_t[t]
-            w_ch, w_res = w_ch_t[t], w_res_t[t]
-            # ---- check update from q (leave-one-out via tables is implicit:
-            # q already excludes own check message by construction) ----------
+        def body(t, _):
+            alpha = alpha_ref[t, 0]
+            offset = offset_ref[t, 0]
+            # ---- check update from q --------------------------------------
             for r in range(st.R):
                 members = st.row_members[r]
                 rolled = []
@@ -152,30 +143,30 @@ def make_fused_neural_minsum(
                     loo = jnp.maximum(loo - offset, 0.0)
                     c2v[ez(k)] = _roll(alpha * sp * sgn * loo, st.shifts[k], Z)
 
-            if t == num_iterations - 1:
-                break
-            # ---- neural variable update ----------------------------------
-            for c in range(C):
-                colsum = jnp.zeros((Z, Bt), jnp.float32)
-                for k in st.col_members[c]:
-                    colsum = colsum + c2v[ez(k)]
-                for k in st.col_members[c]:
-                    res = jnp.zeros((Z, Bt), jnp.float32)
-                    for l, f in enumerate(fifo):
-                        res = res + float(w_res[l]) * f[ez(k)]
-                    if w_ch[k] == "input":
-                        w_term = w_ref[(t * K + k) * Z : (t * K + k + 1) * Z, :]
-                    else:
-                        w_term = w_ch[k]
-                    q_new = (colsum - c2v[ez(k)]) + w_term * llr_ref[ez(c)] + res
-                    # rotate FIFO for this edge, newest first
-                    for l in range(len(fifo) - 1, 0, -1):
-                        fifo[l][ez(k)] = fifo[l - 1][ez(k)]
-                    if fifo:
-                        fifo[0][ez(k)] = q_new
-                    q[ez(k)] = q_new
+            # ---- neural variable update (skipped after the last check) ----
+            @pl.when(t < T - 1)
+            def _():
+                for c in range(C):
+                    colsum = jnp.zeros((Z, Bt), jnp.float32)
+                    for k in st.col_members[c]:
+                        colsum = colsum + c2v[ez(k)]
+                    for k in st.col_members[c]:
+                        # fifo[0] holds Q_{t-1} (this iteration's check
+                        # input), fifo[1] holds Q_{t-2}, ...
+                        res = jnp.zeros((Z, Bt), jnp.float32)
+                        for l in range(min(depth_L, len(fifo))):
+                            res = res + wres_ref[t, l] * fifo[l][ez(k)]
+                        w_term = w_ref[pl.ds(t * Z, Z), k : k + 1]  # (Z, 1)
+                        q_new = (colsum - c2v[ez(k)]) + w_term * llr_ref[ez(c)] + res
+                        for l in range(len(fifo) - 1, 0, -1):
+                            fifo[l][ez(k)] = fifo[l - 1][ez(k)]
+                        q[ez(k)] = q_new
 
-        # ---- output: sigmoid(llr + colsum(c2v)) -> hard bits --------------
+            return 0
+
+        jax.lax.fori_loop(0, T, body, 0, unroll=False)
+
+        # ---- output: llr + colsum(c2v) -> hard bits ------------------------
         for c in range(C):
             colsum = jnp.zeros((Z, Bt), jnp.float32)
             for k in st.col_members[c]:
@@ -191,31 +182,29 @@ def make_fused_neural_minsum(
             llr = jnp.concatenate([llr, jnp.zeros((pad, n), llr.dtype)], axis=0)
         Bp = llr.shape[0]
         llr_cz = llr.reshape(Bp, C, Z).transpose(1, 2, 0).reshape(C * Z, Bp)
-        scratch = [
-            pltpu.VMEM((K * Z, batch_tile), jnp.float32),  # c2v
-            pltpu.VMEM((K * Z, batch_tile), jnp.float32),  # q
-        ] + [pltpu.VMEM((K * Z, batch_tile), jnp.float32) for _ in range(depth_L)]
-        in_specs = [pl.BlockSpec((C * Z, batch_tile), lambda i: (0, i), memory_space=pltpu.VMEM)]
-        inputs = [llr_cz]
-        if has_w_input:
-            # Per-iteration-stacked per-edge weights, replicated per grid step.
-            in_specs.append(
-                pl.BlockSpec((T * K * Z, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
-            )
-            if w_dense.shape[0] == 1 and T > 1:
-                w_full = np.broadcast_to(w_dense, (T, K, Z))
-            else:
-                w_full = w_dense
-            inputs.append(jnp.asarray(w_full.reshape(T * K * Z, 1)))
+        n_msg_bufs = max(depth_L, 1)
         bits_cz = pl.pallas_call(
             kernel,
             grid=(Bp // batch_tile,),
-            in_specs=in_specs,
+            in_specs=[
+                pl.BlockSpec((C * Z, batch_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((T * Z, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((T, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((T, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((T, L), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            ],
             out_specs=pl.BlockSpec((C * Z, batch_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((C * Z, Bp), jnp.float32),
-            scratch_shapes=scratch,
+            scratch_shapes=[pltpu.VMEM((K * Z, batch_tile), jnp.float32)]
+            + [pltpu.VMEM((K * Z, batch_tile), jnp.float32) for _ in range(n_msg_bufs)],
             interpret=interpret,
-        )(*inputs)
+        )(
+            llr_cz,
+            jnp.asarray(w_cols),
+            jnp.asarray(alpha_arr[:, None]),
+            jnp.asarray(offset_arr[:, None]),
+            jnp.asarray(w_res_arr),
+        )
         bits = bits_cz.reshape(C, Z, Bp).transpose(2, 0, 1).reshape(Bp, n)
         return bits[:B]
 
