@@ -49,6 +49,11 @@ class MessageGNNLayer(nn.Module):
     var_agg(combined)]); check-relation update MLP([combined,
     check_agg(combined)]); sum of both halves.
 
+    ``llr_feats`` (optional): per-message channel-LLR features injected into
+    every layer's MLP input — without it the channel information only enters
+    through the first embedding and washes out over iterations (standard
+    input-injection fix for GNN decoders; not in the reference).
+
     ``compute_dtype=bfloat16`` (default) runs the MLP matmuls on the MXU in
     bf16 with float32 parameters and accumulation — the TPU-native precision
     recipe; pass float32 for bit-for-bit ablations.
@@ -59,7 +64,7 @@ class MessageGNNLayer(nn.Module):
     compute_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, feats: Array, plan: QCPlan) -> Array:
+    def __call__(self, feats: Array, plan: QCPlan, llr_feats: Array | None = None) -> Array:
         te = self.param(
             "message_type_embeddings",
             nn.initializers.normal(1.0),
@@ -68,11 +73,16 @@ class MessageGNNLayer(nn.Module):
         combined = (feats + te[plan.edge_type][:, None, None, :]).astype(self.compute_dtype)
         var_agg = qc_msg.var_group_mean(combined, plan)
         chk_agg = qc_msg.check_group_mean(combined, plan)
+        parts_v = [combined, var_agg]
+        parts_c = [combined, chk_agg]
+        if llr_feats is not None:
+            parts_v.append(llr_feats)
+            parts_c.append(llr_feats)
         v2c = MLP2(self.hidden_dim, self.compute_dtype, name="var_to_check_update")(
-            jnp.concatenate([combined, var_agg], axis=-1)
+            jnp.concatenate(parts_v, axis=-1)
         )
         c2v = MLP2(self.hidden_dim, self.compute_dtype, name="check_to_var_update")(
-            jnp.concatenate([combined, chk_agg], axis=-1)
+            jnp.concatenate(parts_c, axis=-1)
         )
         return (v2c + c2v).astype(self.compute_dtype)
 
@@ -120,6 +130,7 @@ class MessageGNNDecoder(nn.Module):
     damping: float = 0.5  # reference damping after iter 1 (:659-664)
     loss_mode: Literal["mean", "max"] = "mean"
     compute_dtype: jnp.dtype = jnp.bfloat16
+    input_injection: bool = False  # feed LLR features to every layer
 
     @nn.compact
     def __call__(self, llr: Array, plan: QCPlan, ground_truth: Array | None = None):
@@ -133,6 +144,7 @@ class MessageGNNDecoder(nn.Module):
 
         if fully_neural:
             feats = input_embed(edge_llr[..., None]).astype(self.compute_dtype)  # (K, Z, B, h)
+            llr_feats = feats if self.input_injection else None
             if self.share_layers:
                 shared = MessageGNNLayer(self.hidden_dim, self.num_message_types,
                                          self.compute_dtype, name="gnn_layer")
@@ -144,7 +156,7 @@ class MessageGNNDecoder(nn.Module):
                     for i in range(self.num_iterations)
                 ]
             for i, layer in enumerate(layers):
-                new = layer(feats, plan)
+                new = layer(feats, plan, llr_feats)
                 if i > 0:  # residual skip from iteration 2 on (reference :261-262)
                     new = new + feats
                 feats = new

@@ -70,8 +70,17 @@ class ComparativeEvaluator:
             "params": param_count,
         }
 
-    def add_belief_propagation(self, max_iterations: int = 50, name: str = "Belief Propagation"):
+    def add_belief_propagation(self, max_iterations: int = 50, name: str = "Belief Propagation",
+                               qc=None, fused: bool = False):
+        """``fused=True`` (requires ``qc=`` the QCLayout) evaluates through
+        the VMEM-resident Pallas kernel instead of the XLA scan."""
         plan = self.plan
+        if fused:
+            from ldpc_tpu.ops.pallas_minsum import make_fused_bp
+
+            kernel = make_fused_bp(qc, max_iterations)
+            self.add_decoder(name, lambda llr: kernel(llr)[0], lambda llr: kernel(llr)[1])
+            return
 
         def decode(llr):
             return decode_bp(llr, plan, max_iterations).bits
@@ -82,8 +91,14 @@ class ComparativeEvaluator:
         self.add_decoder(name, decode, iters)
 
     def add_min_sum(self, max_iterations: int = 50, scaling_factor: float = 0.75,
-                    name: str = "Min-Sum Scaled"):
+                    name: str = "Min-Sum Scaled", qc=None, fused: bool = False):
         plan = self.plan
+        if fused:
+            from ldpc_tpu.ops.pallas_minsum import make_fused_minsum
+
+            kernel = make_fused_minsum(qc, max_iterations, scaling_factor)
+            self.add_decoder(name, lambda llr: kernel(llr)[0], lambda llr: kernel(llr)[1])
+            return
 
         def decode(llr):
             return decode_min_sum(llr, plan, max_iterations, scaling_factor).bits
