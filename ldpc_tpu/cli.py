@@ -97,19 +97,24 @@ def make_model(cfg: Config, plan):
     raise SystemExit(f"unknown --model-type {mt!r}")
 
 
-def _trainer(cfg: Config, plan):
+def _trainer(cfg: Config, plan, bg=None):
     from ldpc_tpu.training import LDPCDecoderTrainer
 
+    encoder = None
+    if bg is not None and (cfg.data_mode == "random_codewords" or cfg.random_codewords):
+        from ldpc_tpu.codes import encoder_from_H, expand_base_matrix
+
+        encoder = encoder_from_H(expand_base_matrix(bg, cfg.lifting_factor))
     model = make_model(cfg, plan)
     return LDPCDecoderTrainer(model, plan, seed=cfg.seed, convention=cfg.convention,
-                              modulation=cfg.modulation)
+                              modulation=cfg.modulation, encoder=encoder)
 
 
 def cmd_train(cfg: Config) -> None:
-    _, _, plan = _setup(cfg)
-    tr = _trainer(cfg, plan)
+    bg, _, plan = _setup(cfg)
+    tr = _trainer(cfg, plan, bg)
     print(f"training {cfg.model_type} on {cfg.base_graph} Z={cfg.lifting_factor} "
-          f"({cfg.num_epochs} epochs)")
+          f"({cfg.num_epochs} epochs, {cfg.data_mode}, {cfg.optimizer})")
     tr.train(
         num_epochs=cfg.num_epochs,
         batch_size=cfg.batch_size,
@@ -119,6 +124,8 @@ def cmd_train(cfg: Config) -> None:
         weight_decay=cfg.weight_decay,
         validation_interval=cfg.validation_interval,
         log=print,
+        data_mode=cfg.data_mode,
+        optimizer=cfg.optimizer,
     )
     tr.save_model(cfg.model_path)
     Path(cfg.results_dir).mkdir(parents=True, exist_ok=True)

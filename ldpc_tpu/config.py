@@ -41,6 +41,8 @@ class Config:
     snr_step: float = 2.0
     validation_interval: int = 5
     seed: int = 42
+    data_mode: str = "random_bits"  # | zero_codewords | random_codewords
+    optimizer: str = "sgd"  # | adam
     # evaluation
     eval_snr_step: float = 1.0
     num_trials: int = 100
