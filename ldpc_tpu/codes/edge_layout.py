@@ -179,10 +179,14 @@ class QCLayout:
 
 def qc_layout(base: BaseGraph, Z: int) -> QCLayout:
     """Build the QC message-passing layout for ``base`` lifted by ``Z``."""
+    if Z < 1:
+        raise ValueError(f"lifting factor must be >= 1, got {Z}")
     shifts = base.shifts_mod(Z)
     R, C = shifts.shape
     rr, cc = np.nonzero(shifts >= 0)  # base edges in row-major order
     K = rr.shape[0]
+    if K == 0:
+        raise ValueError("base graph has no edges (all entries are -1)")
     edge_row = rr.astype(np.int32)
     edge_col = cc.astype(np.int32)
     edge_shift = shifts[rr, cc].astype(np.int32)

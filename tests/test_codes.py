@@ -196,3 +196,67 @@ class TestEncoder:
         info = jax.random.bernoulli(jax.random.PRNGKey(1), 0.5, (8, enc.k)).astype("float32")
         cw = enc.encode(info)
         np.testing.assert_array_equal(np.asarray(cw)[:, enc.info_cols], np.asarray(info))
+
+
+class TestRandomGraphProperties:
+    """Property tests: QC layout consistency on random base graphs."""
+
+    @pytest.mark.parametrize("seed", range(5))
+    def test_random_base_graph_layout(self, seed):
+        rng = np.random.default_rng(seed)
+        R, C = rng.integers(2, 7), rng.integers(3, 10)
+        Z = int(rng.integers(2, 9))
+        shifts = rng.integers(-1, 2 * Z, size=(R, C))
+        # ensure every row and column has at least one edge
+        for r in range(R):
+            if (shifts[r] < 0).all():
+                shifts[r, rng.integers(0, C)] = rng.integers(0, Z)
+        for c in range(C):
+            if (shifts[:, c] < 0).all():
+                shifts[rng.integers(0, R), c] = rng.integers(0, Z)
+        bg = BaseGraph(f"rand{seed}", shifts)
+        qc = qc_layout(bg, Z)
+        H = expand_base_matrix(bg, Z)
+        assert qc.num_edges == int(H.sum())
+        # var-aligned edge enumeration matches H
+        for k in range(qc.num_base_edges):
+            for z in range(Z):
+                v = qc.edge_col[k] * Z + z
+                c = qc.edge_row[k] * Z + (z - qc.edge_shift[k]) % Z
+                assert H[c, v] == 1
+        # roundtrip of the composed grouping gather
+        msg = np.random.default_rng(seed + 100).normal(size=(qc.num_base_edges, Z))
+        padded = np.concatenate([msg.ravel(), [0.0]])
+        grouped = padded[qc.row_gather_var]
+        back = grouped.ravel()[qc.ungroup_to_var]
+        np.testing.assert_allclose(back, msg)
+
+    def test_degenerate_graphs_rejected(self):
+        with pytest.raises(ValueError, match="no edges"):
+            qc_layout(BaseGraph("empty", np.full((2, 3), -1)), 4)
+        with pytest.raises(ValueError, match="lifting factor"):
+            qc_layout(BaseGraph("t", np.array([[0]])), 0)
+
+
+def test_random_graph_golden_decode():
+    """Min-sum on a random QC graph matches the scalar golden model."""
+    import jax.numpy as jnp
+    from ldpc_tpu.models.classical import decode_min_sum
+    from ldpc_tpu.ops import qc_msg
+    from golden import golden_message_passing
+
+    rng = np.random.default_rng(7)
+    shifts = rng.integers(-1, 6, size=(3, 6))
+    shifts[0, 0] = 1  # ensure edges exist
+    for c in range(6):
+        if (shifts[:, c] < 0).all():
+            shifts[rng.integers(0, 3), c] = 2
+    bg = BaseGraph("rand", shifts)
+    Z = 4
+    qc = qc_layout(bg, Z)
+    plan = qc_msg.make_plan(qc)
+    H = expand_base_matrix(bg, Z)
+    llr = rng.normal(size=(3, H.shape[1])).astype(np.float32) * 2
+    got = decode_min_sum(jnp.asarray(llr), plan, 4, 0.75)
+    want = golden_message_passing(H, llr, 4, "minsum", alpha=0.75)
+    np.testing.assert_allclose(np.asarray(got.beliefs), want, rtol=1e-4, atol=1e-4)
