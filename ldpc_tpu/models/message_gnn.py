@@ -65,9 +65,11 @@ class MessageGNNLayer(nn.Module):
 
     @nn.compact
     def __call__(self, feats: Array, plan: QCPlan, llr_feats: Array | None = None) -> Array:
+        # Moderate embedding scale (the reference uses unit-normal, which
+        # after several MLP layers saturates the output and stalls training).
         te = self.param(
             "message_type_embeddings",
-            nn.initializers.normal(1.0),
+            nn.initializers.normal(0.1),
             (self.num_message_types, self.hidden_dim),
         )
         combined = (feats + te[plan.edge_type][:, None, None, :]).astype(self.compute_dtype)
@@ -160,7 +162,13 @@ class MessageGNNDecoder(nn.Module):
                 if i > 0:  # residual skip from iteration 2 on (reference :261-262)
                     new = new + feats
                 feats = new
-            msg_llr = nn.Dense(1, name="output_projection")(feats.astype(jnp.float32))[..., 0]
+            # Zero-init projection: the untrained decoder outputs exactly the
+            # channel LLRs (a pass-through), so training starts from raw-
+            # channel BER and learns message-passing corrections on top,
+            # instead of fighting large random logits (initial mean-BCE ~17
+            # with the reference's init; ~0.4 with this one).
+            msg_llr = nn.Dense(1, kernel_init=nn.initializers.zeros,
+                               name="output_projection")(feats.astype(jnp.float32))[..., 0]
         else:
             msg_llr = self._hybrid_loop(edge_llr, llr_cz, plan, input_embed, B)
 

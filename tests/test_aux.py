@@ -102,3 +102,17 @@ def test_ebn0_conversion():
     assert float(ebn0_to_esn0(3.0, 0.5, 2)) == pytest.approx(3.0)
     # rate 1/5 BG2-ish, QPSK: offset 10log10(0.4) = -3.98 dB
     assert float(ebn0_to_esn0(3.0, 0.2, 2)) == pytest.approx(3.0 - 3.979, abs=1e-2)
+
+
+class TestProfiler:
+    def test_trace_context(self, tmp_path):
+        import jax.numpy as jnp
+        from ldpc_tpu.utils.profiling import annotate, trace
+
+        with trace(tmp_path / "tr") as d:
+            with annotate("unit-test-region"):
+                jnp.arange(8).sum().block_until_ready()
+        # a trace directory with at least one artifact was produced
+        import pathlib
+        files = list(pathlib.Path(d).rglob("*"))
+        assert files
