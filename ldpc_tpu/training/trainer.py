@@ -136,7 +136,7 @@ class LDPCDecoderTrainer:
             if log:
                 log(f"epoch {epoch + 1}/{num_epochs} loss {epoch_loss / nb:.6f}")
             if (epoch + 1) % validation_interval == 0:
-                vl, ber, fer = self.validate(batch_size, snr_range)
+                vl, ber, fer = self.validate(batch_size, snr_range, data_mode)
                 self.val_losses.append(vl)
                 self.ber_history.append(ber)
                 self.fer_history.append(fer)
@@ -144,13 +144,20 @@ class LDPCDecoderTrainer:
                     log(f"  val loss {vl:.6f} ber {ber:.6f} fer {fer:.6f}")
         return self.history()
 
-    def validate(self, batch_size: int, snr_range) -> tuple[float, float, float]:
-        """Random-bit validation across SNRs (reference trainer.py:142-200)."""
+    def validate(self, batch_size: int, snr_range,
+                 data_mode: str = "random_bits") -> tuple[float, float, float]:
+        """Validation across SNRs (reference trainer.py:142-200); data
+        generation follows ``data_mode`` like training."""
         total_l = total_ber = total_fer = 0.0
         for i, snr_db in enumerate(snr_range):
             key = jax.random.fold_in(jax.random.PRNGKey(1234), i)
             kb, kc = jax.random.split(key)
-            bits = jax.random.bernoulli(kb, 0.5, (batch_size, self.n)).astype(jnp.float32)
+            if data_mode == "zero_codewords":
+                bits = jnp.zeros((batch_size, self.n), jnp.float32)
+            elif data_mode == "random_codewords":
+                bits = self.encoder.random_codewords(kb, batch_size)
+            else:
+                bits = jax.random.bernoulli(kb, 0.5, (batch_size, self.n)).astype(jnp.float32)
             llr = self._channel(kc, bits, snr_db)
             soft, loss = self.model.apply(self.params, llr, self.plan, bits)
             hard = (soft > 0.5).astype(jnp.float32)
@@ -164,19 +171,27 @@ class LDPCDecoderTrainer:
     # -- Monte-Carlo evaluation --------------------------------------------
 
     def evaluate_snr_range(
-        self, snr_range, batch_size: int, num_trials: int, seed: int = 4321
+        self, snr_range, batch_size: int, num_trials: int, seed: int = 4321,
+        use_encoder: bool = False,
     ) -> tuple[list[float], list[float]]:
-        """All-zero-codeword MC sweep (reference trainer.py:202-262).
+        """MC sweep: all-zero codewords (reference trainer.py:202-262) or,
+        with ``use_encoder=True``, random codewords via ``self.encoder``.
 
         Deterministic per-(snr, trial) key derivation: results are a pure
         function of (seed, snr index, trial index) — the property multi-chip
         sharding relies on (SURVEY.md §7 hard part 5).
         """
+        encoder = self.encoder if use_encoder else None
 
         @jax.jit
         def trial(params, key, snr_db):
-            bits = jnp.zeros((batch_size, self.n))
-            llr = self._channel(key, bits, snr_db)
+            if encoder is None:
+                bits = jnp.zeros((batch_size, self.n))
+                kc = key
+            else:
+                kb, kc = jax.random.split(key)
+                bits = encoder.random_codewords(kb, batch_size)
+            llr = self._channel(kc, bits, snr_db)
             soft, _ = self.model.apply(params, llr, self.plan)
             hard = (soft > 0.5).astype(jnp.float32)
             return ch.error_counts(bits, hard)
