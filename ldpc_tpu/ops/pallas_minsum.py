@@ -37,7 +37,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ldpc_tpu.codes.base_graphs import BaseGraph
 from ldpc_tpu.codes.edge_layout import QCLayout
 
 Array = jax.Array

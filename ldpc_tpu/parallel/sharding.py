@@ -16,7 +16,6 @@ part 5), verified in tests/test_parallel.py.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable
 
 import jax

@@ -9,7 +9,6 @@ hardware limits (BASELINE.json requires kernels at "speed of light").
 from __future__ import annotations
 
 import contextlib
-import time
 from dataclasses import dataclass
 from pathlib import Path
 
