@@ -72,8 +72,9 @@ def main() -> None:
                                     learnable_alpha=True, loss_mode="mean"), "standard")
     tied = train(NeuralMinSumDecoder(num_iterations=5, depth_L=2, weight_sharing="cell",
                                      learnable_alpha=True, loss_mode="mean"), "tied")
-    gnn = train(create_message_gnn_decoder(plan4, num_iterations=5, hidden_dim=64),
-                "message_gnn", lr=1e-3, n_epochs=epochs * 2)
+    gnn = train(create_message_gnn_decoder(plan4, num_iterations=5, hidden_dim=64,
+                                           input_injection=True),
+                "message_gnn", lr=1e-3, n_epochs=epochs * 4)
 
     std.save_model(out / "standard_nr_2_0_4.msgpack")
     tied.save_model(out / "tied_nr_2_0_4.msgpack")
