@@ -96,9 +96,16 @@ def decode_bp(llr: Array, plan: QCPlan, max_iterations: int = 50) -> DecodeResul
     return _decode_scan(llr, plan, max_iterations, qc_msg.check_update_sumproduct)
 
 
-def _resolve_backend(backend: str) -> str:
+def _resolve_backend(backend: str, qc: QCLayout | None = None) -> str:
     if backend == "auto":
-        return "fused" if jax.default_backend() == "tpu" else "xla"
+        if jax.default_backend() != "tpu":
+            return "xla"
+        if qc is not None:
+            from ldpc_tpu.ops.pallas_minsum import fused_kernel_fits
+
+            if not fused_kernel_fits(qc):
+                return "xla"  # large Z: state exceeds VMEM
+        return "fused"
     return backend
 
 
@@ -122,7 +129,7 @@ class BeliefPropagationDecoder:
 
     def __post_init__(self):
         object.__setattr__(self, "_plan", qc_msg.make_plan(self.qc))
-        if _resolve_backend(self.backend) == "fused":
+        if _resolve_backend(self.backend, self.qc) == "fused":
             from ldpc_tpu.ops.pallas_minsum import make_fused_bp
 
             object.__setattr__(self, "_fused", make_fused_bp(self.qc, self.max_iterations))
@@ -156,7 +163,7 @@ class MinSumScaledDecoder:
 
     def __post_init__(self):
         object.__setattr__(self, "_plan", qc_msg.make_plan(self.qc))
-        if _resolve_backend(self.backend) == "fused":
+        if _resolve_backend(self.backend, self.qc) == "fused":
             from ldpc_tpu.ops.pallas_minsum import make_fused_minsum
 
             object.__setattr__(

@@ -43,6 +43,20 @@ Array = jax.Array
 
 _BIG = 1e9
 
+# Usable VMEM for kernel state (16 MiB physical minus pipeline margins).
+_VMEM_BUDGET = 14 * 2**20
+
+
+def fused_vmem_bytes(qc: QCLayout, batch_tile: int = 128) -> int:
+    """Rough VMEM footprint of the fused decode kernel state."""
+    K, Z, C = qc.num_base_edges, qc.Z, qc.num_base_cols
+    per_lane = (K * Z + 3 * C * Z + 2 * C * Z) * 4  # c2v + beliefs/frozen/llr + io
+    return per_lane * batch_tile
+
+
+def fused_kernel_fits(qc: QCLayout, batch_tile: int = 128) -> bool:
+    return fused_vmem_bytes(qc, batch_tile) <= _VMEM_BUDGET
+
 
 class _Structure(NamedTuple):
     """Static base-graph structure baked into the kernel trace."""
@@ -212,6 +226,14 @@ def make_fused_minsum(
     st = _structure(qc)
     Z, C, K = st.Z, st.C, st.K
     n = C * Z
+    need = fused_vmem_bytes(qc, batch_tile)
+    if need > _VMEM_BUDGET:
+        raise ValueError(
+            f"fused kernel state ({need / 2**20:.1f} MiB at batch_tile="
+            f"{batch_tile}) exceeds the ~{_VMEM_BUDGET / 2**20:.0f} MiB VMEM "
+            f"budget for Z={Z}; use the XLA backend (decode_min_sum/"
+            f"decode_bp) for large lifting factors"
+        )
 
     kernel = functools.partial(
         _kernel, st=st, max_iterations=max_iterations, alpha=alpha, mode=mode

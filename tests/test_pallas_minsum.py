@@ -58,3 +58,20 @@ def test_bp_mode_matches_xla_decoder():
     assert (b1 == b2).mean() >= 0.999
     c1, c2 = np.asarray(conv), np.asarray(ref.conv_iter)
     assert (np.abs(c1 - c2) <= 1).all()
+
+
+def test_large_Z_rejected_with_clear_error():
+    qc = qc_layout(get_base_graph("nr_2_0_32"), 384)
+    with pytest.raises(ValueError, match="VMEM"):
+        make_fused_minsum(qc, 10)
+
+
+def test_large_Z_xla_path_works():
+    """Z=384 (75k edges) decodes through the XLA backend."""
+    qc = qc_layout(get_base_graph("nr_2_0_32"), 384)
+    plan = qc_msg.make_plan(qc)
+    n = plan.C * plan.Z
+    llr = bpsk_awgn_llr(jax.random.PRNGKey(0), jnp.zeros((4, n)), 3.0)
+    res = decode_min_sum(llr, plan, 5, 0.75)
+    assert res.bits.shape == (4, n)
+    assert float(res.bits.sum()) == 0.0
