@@ -111,7 +111,8 @@ def _phi(x):
 
 
 def _kernel(llr_ref, bits_ref, conv_ref, c2v, beliefs, frozen, conv_buf, *, st: _Structure,
-            max_iterations: int, alpha: float, mode: str = "minsum"):
+            max_iterations: int, alpha: float, mode: str = "minsum",
+            track_convergence: bool = True):
     Z, K, C, R = st.Z, st.K, st.C, st.R
     Bt = llr_ref.shape[1]
 
@@ -173,7 +174,6 @@ def _kernel(llr_ref, bits_ref, conv_ref, c2v, beliefs, frozen, conv_buf, *, st: 
                     c2v[ez(k)] = _roll(out, st.shifts[k], Z)
 
         # ---- beliefs, bits, syndrome, convergence tracking ---------------
-        viol = jnp.zeros((1, Bt), jnp.float32)
         bits_now = []
         for c in range(C):
             colsum = jnp.zeros((Z, Bt), jnp.float32)
@@ -181,19 +181,22 @@ def _kernel(llr_ref, bits_ref, conv_ref, c2v, beliefs, frozen, conv_buf, *, st: 
                 colsum = colsum + c2v[ez(k)]
             belief = llr_ref[ez(c)] + colsum
             beliefs[ez(c)] = belief
-            bits_now.append(jnp.where(belief < 0, 1.0, 0.0))
-        for r in range(R):
-            parity = jnp.zeros((Z, Bt), jnp.float32)
-            for k in st.row_members[r]:
-                parity = parity + _roll(bits_now[st.cols[k]], -st.shifts[k], Z)
-            parity = parity - 2.0 * jnp.floor(parity * 0.5)  # mod 2
-            viol = viol + jnp.sum(parity, axis=0, keepdims=True)
+            if track_convergence:
+                bits_now.append(jnp.where(belief < 0, 1.0, 0.0))
+        if track_convergence:
+            viol = jnp.zeros((1, Bt), jnp.float32)
+            for r in range(R):
+                parity = jnp.zeros((Z, Bt), jnp.float32)
+                for k in st.row_members[r]:
+                    parity = parity + _roll(bits_now[st.cols[k]], -st.shifts[k], Z)
+                parity = parity - 2.0 * jnp.floor(parity * 0.5)  # mod 2
+                viol = viol + jnp.sum(parity, axis=0, keepdims=True)
 
-        ok = viol == 0.0  # (1, Bt)
-        newly = jnp.logical_and(ok, conv_buf[0:1, :] == 0.0)
-        for c in range(C):
-            frozen[ez(c)] = jnp.where(newly, bits_now[c], frozen[ez(c)])
-        conv_buf[0:1, :] = jnp.where(newly, jnp.float32(t + 1), conv_buf[0:1, :])
+            ok = viol == 0.0  # (1, Bt)
+            newly = jnp.logical_and(ok, conv_buf[0:1, :] == 0.0)
+            for c in range(C):
+                frozen[ez(c)] = jnp.where(newly, bits_now[c], frozen[ez(c)])
+            conv_buf[0:1, :] = jnp.where(newly, jnp.float32(t + 1), conv_buf[0:1, :])
         return 0
 
     jax.lax.fori_loop(0, max_iterations, iteration, 0, unroll=False)
@@ -215,6 +218,7 @@ def make_fused_minsum(
     batch_tile: int = 128,
     interpret: bool = False,
     mode: str = "minsum",
+    track_convergence: bool = True,
 ):
     """Build the fused decoder: (B, n) LLRs -> (bits (B, n), conv_iter (B,)).
 
@@ -222,6 +226,10 @@ def make_fused_minsum(
     VMEM (about (2K + 4C) * Z * 4 bytes per lane; ~10 MB at Z=32 tile 128).
     ``interpret=True`` runs the Pallas interpreter (CPU tests).
     ``mode``: "minsum" (scaled, uses alpha) or "sumproduct" (BP).
+    ``track_convergence=False`` skips the per-iteration syndrome/freeze pass
+    (throughput mode: conv_iter returns max_iterations everywhere, bits are
+    the final-iteration decisions — identical for frames that would not have
+    early-frozen; classical semantics otherwise).
     """
     st = _structure(qc)
     Z, C, K = st.Z, st.C, st.K
@@ -236,7 +244,8 @@ def make_fused_minsum(
         )
 
     kernel = functools.partial(
-        _kernel, st=st, max_iterations=max_iterations, alpha=alpha, mode=mode
+        _kernel, st=st, max_iterations=max_iterations, alpha=alpha, mode=mode,
+        track_convergence=track_convergence,
     )
 
     @jax.jit
