@@ -133,15 +133,17 @@ def cmd_train(cfg: Config) -> None:
 
 
 def cmd_evaluate(cfg: Config) -> None:
-    _, _, plan = _setup(cfg)
-    tr = _trainer(cfg, plan)
+    bg, _, plan = _setup(cfg)
+    tr = _trainer(cfg.replace(data_mode="random_codewords") if cfg.random_codewords else cfg,
+                  plan, bg)
     if Path(cfg.model_path).exists():
         tr.load_model(cfg.model_path)
         print(f"loaded {cfg.model_path}")
     else:
         print(f"warning: {cfg.model_path} not found — evaluating untrained model")
     snrs = cfg.eval_snr_range()
-    bers, fers = tr.evaluate_snr_range(snrs, cfg.batch_size, cfg.num_trials)
+    bers, fers = tr.evaluate_snr_range(snrs, cfg.batch_size, cfg.num_trials,
+                                       use_encoder=cfg.random_codewords)
     results = {"snr_range": snrs,
                "decoders": {cfg.model_type: {"ber": bers, "fer": fers, "param_count": 0}}}
     out = Path(cfg.results_dir) / "evaluation_results.json"

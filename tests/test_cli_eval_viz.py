@@ -152,3 +152,17 @@ def test_notebook_converter(tmp_path):
     written = create_directory_structure(tmp_path / "out", cells)
     assert len(written) == 2
     assert (tmp_path / "out" / "__init__.py").exists()
+
+
+def test_evaluate_with_random_codewords(tmp_path, capsys):
+    cli_main([
+        "evaluate", "--base-graph", "toy_4x8", "--lifting-factor", "4",
+        "--model-type", "tied", "--num-trials", "2", "--batch-size", "8",
+        "--snr-min", "2", "--snr-max", "6", "--eval-snr-step", "2",
+        "--random-codewords",
+        "--model-path", str(tmp_path / "none.msgpack"),
+        "--results-dir", str(tmp_path),
+    ])
+    out = capsys.readouterr().out
+    assert "BER" in out
+    assert (tmp_path / "evaluation_results.json").exists()

@@ -57,3 +57,14 @@ def test_native_is_faster_on_large_graph():
     t_py = best_of(edge_layout_from_H)
     t_native = best_of(edge_layout_from_H_native)
     assert t_native < t_py
+
+
+def test_parse_errors(tmp_path):
+    from ldpc_tpu.runtime import load_base_matrix_native
+
+    ragged = tmp_path / "ragged.txt"
+    ragged.write_text("0 1\n2\n")
+    with pytest.raises(ValueError):
+        load_base_matrix_native(ragged)
+    with pytest.raises(ValueError):
+        load_base_matrix_native(tmp_path / "missing.txt")
