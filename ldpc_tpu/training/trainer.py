@@ -54,7 +54,6 @@ class LDPCDecoderTrainer:
         self.val_losses: list[float] = []
         self.ber_history: list[float] = []
         self.fer_history: list[float] = []
-        self._tx = None  # jitted train step, built in train()
 
     # -- channel helper ----------------------------------------------------
 
@@ -242,3 +241,32 @@ class LDPCDecoderTrainer:
 
     def save_history_json(self, path: str | Path) -> None:
         Path(path).write_text(json.dumps(self.history(), indent=2))
+
+    # -- plotting (API parity with reference trainer.py:264-335) -----------
+
+    def plot_training_history(self):
+        from ldpc_tpu.visualization.plots import plot_training_history
+
+        return plot_training_history(self.history())
+
+    def plot_snr_performance(self, snr_range, ber_results, fer_results,
+                             comparison_ber=None, comparison_fer=None):
+        import matplotlib.pyplot as plt
+
+        fig1, ax1 = plt.subplots(figsize=(8, 5))
+        ax1.semilogy(snr_range, ber_results, "o-", label="Neural decoder")
+        if comparison_ber is not None:
+            ax1.semilogy(snr_range, comparison_ber, "s-", label="Conventional decoder")
+        ax1.set_xlabel("SNR (dB)")
+        ax1.set_ylabel("BER")
+        ax1.legend()
+        ax1.grid(True)
+        fig2, ax2 = plt.subplots(figsize=(8, 5))
+        ax2.semilogy(snr_range, fer_results, "o-", label="Neural decoder")
+        if comparison_fer is not None:
+            ax2.semilogy(snr_range, comparison_fer, "s-", label="Conventional decoder")
+        ax2.set_xlabel("SNR (dB)")
+        ax2.set_ylabel("FER")
+        ax2.legend()
+        ax2.grid(True)
+        return fig1, fig2

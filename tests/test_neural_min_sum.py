@@ -174,3 +174,15 @@ class TestExtensions:
         tr.train(num_epochs=5, batch_size=16, learning_rate=0.01, snr_range=[3.0],
                  validation_interval=100)
         assert all(np.isfinite(tr.train_losses))
+
+
+def test_trainer_plot_methods(plan, tmp_path):
+    model = make_standard_decoder(num_iterations=2)
+    tr = LDPCDecoderTrainer(model, plan, seed=0)
+    tr.train(num_epochs=3, batch_size=8, learning_rate=0.01, snr_range=[3.0],
+             validation_interval=2)
+    f1, f2 = tr.plot_training_history()
+    assert f1 is not None and f2 is not None
+    g1, g2 = tr.plot_snr_performance([0, 2], [0.1, 0.01], [0.5, 0.1],
+                                     comparison_ber=[0.2, 0.02])
+    assert g1 is not None and g2 is not None
