@@ -67,7 +67,13 @@ def _pack_weights(qc: QCLayout, params, num_iterations: int, depth_L: int,
     offset_t = per_t("offset", 0.0)
 
     w_full = np.stack([expand_edge(w) for w in w_ch_t])  # (T, K, Z)
-    w_cols = np.ascontiguousarray(w_full.transpose(0, 2, 1).reshape(T * Z, K))
+    # Rows padded to the 8-sublane granule so per-iteration dynamic offsets
+    # (t * Zp) stay aligned; shared weights collapse to one (Zp, K) block.
+    Zp = ((Z + 7) // 8) * 8
+    T_eff = T if per_iteration else 1
+    w_cols = np.zeros((T_eff * Zp, K), np.float32)
+    for t in range(T_eff):
+        w_cols[t * Zp : t * Zp + Z] = w_full[t].T
     L = max(depth_L, 1)
     w_res = np.zeros((T, L), np.float32)
     for t in range(T):
@@ -100,6 +106,7 @@ def make_fused_neural_minsum(
         qc, params, T, depth_L, per_iteration
     )
     L = w_res_arr.shape[1]
+    Zp = ((Z + 7) // 8) * 8
 
     def kernel(llr_ref, w_ref, alpha_ref, offset_ref, wres_ref, bits_ref, c2v, *fifo_and_q):
         # q aliases fifo[0]: the newest residual slot IS the current v2c.
@@ -156,7 +163,10 @@ def make_fused_neural_minsum(
                         res = jnp.zeros((Z, Bt), jnp.float32)
                         for l in range(min(depth_L, len(fifo))):
                             res = res + wres_ref[t, l] * fifo[l][ez(k)]
-                        w_term = w_ref[pl.ds(t * Z, Z), k : k + 1]  # (Z, 1)
+                        if per_iteration:
+                            w_term = w_ref[pl.ds(t * Zp, Z), k : k + 1]  # (Z, 1)
+                        else:
+                            w_term = w_ref[0:Z, k : k + 1]
                         q_new = (colsum - c2v[ez(k)]) + w_term * llr_ref[ez(c)] + res
                         for l in range(len(fifo) - 1, 0, -1):
                             fifo[l][ez(k)] = fifo[l - 1][ez(k)]
@@ -188,7 +198,7 @@ def make_fused_neural_minsum(
             grid=(Bp // batch_tile,),
             in_specs=[
                 pl.BlockSpec((C * Z, batch_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((T * Z, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(w_cols.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((T, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
                 pl.BlockSpec((T, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
                 pl.BlockSpec((T, L), lambda i: (0, 0), memory_space=pltpu.SMEM),
