@@ -15,7 +15,7 @@ import argparse
 import jax
 import jax.numpy as jnp
 
-from ldpc_tpu.codes import expand_base_matrix, get_base_graph, qc_layout
+from ldpc_tpu.codes import encoder_from_H, expand_base_matrix, get_base_graph, qc_layout
 from ldpc_tpu.models.message_gnn import (
     create_custom_minsum_message_gnn_decoder,
     create_message_gnn_decoder,
@@ -41,16 +41,20 @@ def main() -> None:
     print(f"base graph {bg.shifts.shape}, Z={Z} -> H {H.shape}, {qc.num_edges} edges, "
           f"{plan.num_edge_types} message types")
 
+    enc = encoder_from_H(H)  # replaces the reference's rejection sampler
     model = create_message_gnn_decoder(plan, num_iterations=3, hidden_dim=32)
-    trainer = LDPCDecoderTrainer(model, plan, seed=0)
+    trainer = LDPCDecoderTrainer(model, plan, seed=0, encoder=enc)
 
     if args.train:
-        print("training 20 epochs ...")
-        trainer.train(num_epochs=20, batch_size=32, learning_rate=0.02,
-                      snr_range=[2.0, 4.0, 6.0], validation_interval=10, log=print)
+        print("training 50 epochs on random codewords ...")
+        trainer.train(num_epochs=50, batch_size=64, learning_rate=1e-3,
+                      snr_range=[2.0, 4.0, 6.0], validation_interval=25, log=print,
+                      optimizer="adam", weight_decay=0.0, grad_clip=1.0,
+                      data_mode="random_codewords")
 
-    # All-zero-codeword transmission (no encoder needed; reference protocol)
-    bits = jnp.zeros((args.batch, n))
+    # Random valid codewords through QPSK/AWGN (honest for the
+    # non-sign-symmetric GNN; see docs/MESSAGE_GNN.md)
+    bits = enc.random_codewords(jax.random.PRNGKey(7), args.batch)
     llr = qpsk_awgn_llr(jax.random.PRNGKey(1), bits, args.snr)
     decoded = model.decode(trainer.params, llr, plan)
     ber, fer = compute_ber_fer(bits, decoded)

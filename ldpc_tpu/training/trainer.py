@@ -76,6 +76,7 @@ class LDPCDecoderTrainer:
         log: Callable[[str], None] | None = None,
         data_mode: str = "random_bits",
         optimizer: str = "sgd",
+        grad_clip: float = 0.0,
     ) -> dict[str, Any]:
         """SNR-mixed training loop (defaults mirror main.py:33-42).
 
@@ -96,7 +97,10 @@ class LDPCDecoderTrainer:
             opt = optax.adam(learning_rate)
         else:
             raise ValueError(f"unknown optimizer {optimizer!r}")
-        tx = optax.chain(optax.add_decayed_weights(weight_decay), opt)
+        parts = [optax.add_decayed_weights(weight_decay), opt]
+        if grad_clip > 0:
+            parts.insert(0, optax.clip_by_global_norm(grad_clip))
+        tx = optax.chain(*parts)
         opt_state = tx.init(self.params)
 
         if data_mode == "random_codewords" and self.encoder is None:
