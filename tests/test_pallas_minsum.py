@@ -75,3 +75,45 @@ def test_large_Z_xla_path_works():
     res = decode_min_sum(llr, plan, 5, 0.75)
     assert res.bits.shape == (4, n)
     assert float(res.bits.sum()) == 0.0
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_random_graph_kernel_parity(seed):
+    """Fused kernel matches the XLA decoder on random QC structures."""
+    from ldpc_tpu.codes import BaseGraph
+
+    rng = np.random.default_rng(seed)
+    shifts = rng.integers(-1, 10, size=(4, 7))
+    for c in range(7):
+        if (shifts[:, c] < 0).all():
+            shifts[rng.integers(0, 4), c] = 1
+    for r in range(4):
+        if (shifts[r] < 0).all():
+            shifts[r, rng.integers(0, 7)] = 1
+    bg = BaseGraph(f"rk{seed}", shifts)
+    Z = 8
+    qc = qc_layout(bg, Z)
+    plan = qc_msg.make_plan(qc)
+    n = plan.C * plan.Z
+    llr = bpsk_awgn_llr(jax.random.PRNGKey(seed), jnp.zeros((8, n)), 1.0)
+    fused = make_fused_minsum(qc, max_iterations=6, alpha=0.75, batch_tile=8,
+                              interpret=True)
+    bits, conv = fused(llr)
+    ref = decode_min_sum(llr, plan, 6, 0.75)
+    np.testing.assert_array_equal(np.asarray(bits), np.asarray(ref.bits))
+
+
+def test_no_track_mode_final_bits_match():
+    qc = qc_layout(get_base_graph("toy_4x8"), 4)
+    plan = qc_msg.make_plan(qc)
+    n = plan.C * plan.Z
+    llr = bpsk_awgn_llr(jax.random.PRNGKey(3), jnp.zeros((8, n)), 0.0)
+    tracked = make_fused_minsum(qc, 6, batch_tile=8, interpret=True)
+    fast = make_fused_minsum(qc, 6, batch_tile=8, interpret=True, track_convergence=False)
+    bt, ct = tracked(llr)
+    bf, cf = fast(llr)
+    ref = decode_min_sum(llr, plan, 6, 0.75)
+    # throughput mode returns the final-iteration bits for every frame
+    final_bits = (ref.beliefs < 0).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(bf), np.asarray(final_bits))
+    assert (np.asarray(cf) == 6).all()
