@@ -210,14 +210,17 @@ def check_update_minsum(v2c_var: Array, plan: QCPlan, alpha=1.0, offset=0.0) -> 
     sign, mag = _signs_and_mags(grouped, valid)
 
     total_sign = jnp.prod(sign, axis=1, keepdims=True)
+    # min / 2nd-min without argmin: sort-free running reduction is not
+    # expressible as a lax reduce, but top-2 via one extra masked min is.
     m1 = jnp.min(mag, axis=1, keepdims=True)
-    i1 = jnp.argmin(mag, axis=1, keepdims=True)
-    slot = jnp.arange(plan.dr_max)[None, :, None, None]
-    mag_wo_min = jnp.where(slot == i1, _BIG, mag)
-    m2 = jnp.min(mag_wo_min, axis=1, keepdims=True)
+    is_min = mag == m1
+    # knock out ONE occurrence of the minimum (the first) before re-minning
+    first_min = jnp.cumsum(is_min.astype(jnp.int32), axis=1) * is_min == 1
+    m2 = jnp.min(jnp.where(first_min, _BIG, mag), axis=1, keepdims=True)
 
     loo_sign = total_sign * sign  # sign in {-1, +1}: multiply == divide
-    loo_mag = jnp.where(slot == i1, m2, m1)
+    # excluded-minimum select: the (first) minimum edge sees m2, others m1
+    loo_mag = jnp.where(first_min, m2, m1)
     # Mask BEFORE the multiply: no sentinel-scale value may enter a product,
     # or fused backward passes can manufacture inf*0 = NaN.
     loo_mag = jnp.where(valid & (loo_mag < _BIG), loo_mag, 0.0)
