@@ -198,7 +198,10 @@ class MessageGNNDecoder(nn.Module):
             name = prefix if self.share_layers else f"{prefix}_{i}"
             layer = MessageGNNLayer(self.hidden_dim, self.num_message_types,
                                     self.compute_dtype, name=f"{name}_gnn")
-            proj = nn.Dense(1, name=f"{name}_proj")
+            # Zero-init projections: neural half-updates start as no-ops, so
+            # the untrained hybrid decoder is a channel pass-through (same
+            # rationale as the fully-neural output projection).
+            proj = nn.Dense(1, kernel_init=nn.initializers.zeros, name=f"{name}_proj")
             return layer, proj
 
         shared_check = sub("check", 0) if self.share_layers else None
