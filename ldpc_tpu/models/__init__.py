@@ -23,6 +23,7 @@ from ldpc_tpu.models.gnn import (  # noqa: F401
 from ldpc_tpu.models.message_gnn import (  # noqa: F401
     MessageGNNDecoder,
     MessageGNNLayer,
+    create_corrected_minsum_gnn_decoder,
     create_custom_check_message_gnn_decoder,
     create_custom_minsum_message_gnn_decoder,
     create_custom_variable_message_gnn_decoder,

@@ -38,7 +38,7 @@ from ldpc_tpu.ops.qc_msg import QCPlan
 
 Array = jax.Array
 
-Mode = Literal["neural", "minsum"]
+Mode = Literal["neural", "minsum", "corrected"]
 
 
 class MessageGNNLayer(nn.Module):
@@ -117,6 +117,13 @@ class MessageGNNDecoder(nn.Module):
     CustomMinSumMessage...    minsum     minsum
     ========================  =========  ===========
 
+    ``"corrected"`` (beyond the reference family) runs the classical min-sum
+    half-update *plus* a zero-initialized GNN correction term: the untrained
+    decoder computes exactly classical min-sum, and training learns additive
+    message corrections on top — so decoding quality starts at the min-sum
+    baseline instead of below it (the reference's replace-the-update hybrids
+    must first re-learn min-sum from scratch).
+
     Returns ``(soft_bits, per-frame loss)``; ``loss_mode="mean"`` is the
     reference GNN BCE (:313-315), ``"max"`` the FER-surrogate used by its
     hybrid variable decoder (:875-877).
@@ -193,6 +200,11 @@ class MessageGNNDecoder(nn.Module):
         v2c = edge_llr  # var-aligned LLR-domain messages
         c2v = jnp.zeros_like(edge_llr)
         fifo = jnp.zeros((self.depth_L,) + edge_llr.shape, edge_llr.dtype)
+        llr_feats = (
+            input_embed(edge_llr[..., None]).astype(self.compute_dtype)
+            if self.input_injection
+            else None
+        )
 
         def sub(prefix: str, i: int):
             name = prefix if self.share_layers else f"{prefix}_{i}"
@@ -209,27 +221,37 @@ class MessageGNNDecoder(nn.Module):
 
         for i in range(self.num_iterations):
             # ---- check half ----
-            if self.check_mode == "minsum":
-                c2v = qc_msg.check_update_minsum(v2c, plan, alpha=alpha)
-            else:
+            if self.check_mode == "neural":
                 layer, proj = shared_check if self.share_layers else sub("check", i)
                 feats = input_embed(v2c[..., None])
-                c2v = proj(layer(feats, plan))[..., 0]
+                c2v = proj(layer(feats, plan, llr_feats))[..., 0]
+            else:
+                pre = v2c  # correction sees the update's inputs
+                c2v = qc_msg.check_update_minsum(v2c, plan, alpha=alpha)
+                if self.check_mode == "corrected":
+                    layer, proj = shared_check if self.share_layers else sub("check", i)
+                    feats = input_embed(pre[..., None])
+                    c2v = c2v + proj(layer(feats, plan, llr_feats).astype(jnp.float32))[..., 0]
             # ---- variable half ----
-            if self.var_mode == "minsum":
+            if self.var_mode == "neural":
+                layer, proj = shared_var if self.share_layers else sub("var", i)
+                feats = input_embed(c2v[..., None])
+                v2c = proj(layer(feats, plan, llr_feats))[..., 0]
+            else:
                 colsum = qc_msg.col_sum(c2v, plan)
                 loo = colsum[plan.edge_col] - c2v
                 res = jnp.tensordot(w_res, fifo, axes=1) if self.depth_L else 0.0
                 new_v2c = loo + w_ch * edge_llr + res
-                if i > 0:  # damping after the first iteration (reference :659-664)
+                if i > 0 and self.damping != 1.0:
+                    # damping after the first iteration (reference :659-664)
                     new_v2c = self.damping * new_v2c + (1.0 - self.damping) * c2v
+                if self.var_mode == "corrected":
+                    layer, proj = shared_var if self.share_layers else sub("var", i)
+                    feats = input_embed(c2v[..., None])
+                    new_v2c = new_v2c + proj(layer(feats, plan, llr_feats).astype(jnp.float32))[..., 0]
                 if self.depth_L:
                     fifo = jnp.concatenate([new_v2c[None], fifo[:-1]], axis=0)
                 v2c = new_v2c
-            else:
-                layer, proj = shared_var if self.share_layers else sub("var", i)
-                feats = input_embed(c2v[..., None])
-                v2c = proj(layer(feats, plan))[..., 0]
         return c2v
 
     def decode(self, params, llr: Array, plan: QCPlan) -> Array:
@@ -276,6 +298,28 @@ def create_custom_check_message_gnn_decoder(plan: QCPlan, num_iterations=5, hidd
         num_message_types=plan.num_edge_types,
         var_mode="neural",
         check_mode="minsum",
+        **kw,
+    )
+
+
+def create_corrected_minsum_gnn_decoder(plan: QCPlan, num_iterations=5, hidden_dim=64, **kw):
+    """Min-sum with zero-init GNN corrections on both half-updates (flagship).
+
+    ``depth_L=0`` / ``damping=1.0`` make the classical skeleton *exactly*
+    scaled min-sum (learnable alpha, init 0.8; learnable channel weight,
+    init 1), so the untrained decoder already decodes at the classical
+    min-sum baseline and every gradient step trains pure message
+    corrections.  Beyond the reference family (its hybrids replace updates
+    rather than correct them, `message_gnn_decoder.py:585-758`).
+    """
+    return MessageGNNDecoder(
+        num_iterations=num_iterations,
+        hidden_dim=hidden_dim,
+        num_message_types=plan.num_edge_types,
+        var_mode="corrected",
+        check_mode="corrected",
+        depth_L=0,
+        damping=1.0,
         **kw,
     )
 

@@ -8,6 +8,7 @@ import pytest
 from ldpc_tpu.codes import expand_base_matrix, get_base_graph, qc_layout
 from ldpc_tpu.models.message_gnn import (
     MessageGNNDecoder,
+    create_corrected_minsum_gnn_decoder,
     create_custom_check_message_gnn_decoder,
     create_custom_minsum_message_gnn_decoder,
     create_custom_variable_message_gnn_decoder,
@@ -151,11 +152,45 @@ class TestFactories:
             create_custom_variable_message_gnn_decoder,
             create_custom_check_message_gnn_decoder,
             create_custom_minsum_message_gnn_decoder,
+            create_corrected_minsum_gnn_decoder,
         ):
             model = factory(plan, num_iterations=2, hidden_dim=8)
             params = model.init(jax.random.PRNGKey(5), llr, plan)
             soft, _ = model.apply(params, llr, plan)
             assert soft.shape == (2, n)
+
+    def test_corrected_mode_is_exact_minsum_at_init(self, setup):
+        """Zero-init corrections: the untrained corrected decoder computes
+        bit-for-bit classical scaled min-sum (alpha = its 0.8 init)."""
+        _, _, _, H, plan = setup
+        n = H.shape[1]
+        iters = 4
+        llr = ch.bpsk_awgn_llr(jax.random.PRNGKey(11), jnp.zeros((8, n)), 1.0)
+        model = create_corrected_minsum_gnn_decoder(plan, num_iterations=iters, hidden_dim=8)
+        params = model.init(jax.random.PRNGKey(12), llr, plan)
+        soft, _ = model.apply(params, llr, plan)
+
+        # Manual classical min-sum with the same fixed-iteration schedule.
+        llr_cz = qc_msg.llr_to_cz(llr, plan)
+        edge_llr = llr_cz[plan.edge_col]
+        v2c = edge_llr
+        for _ in range(iters):
+            c2v = qc_msg.check_update_minsum(v2c, plan, alpha=0.8)
+            v2c = qc_msg.col_sum(c2v, plan)[plan.edge_col] - c2v + edge_llr
+        expect = jax.nn.sigmoid(-qc_msg.cz_to_llr(llr_cz + qc_msg.col_sum(c2v, plan)))
+        np.testing.assert_array_equal(np.asarray(soft), np.asarray(expect))
+
+    def test_corrected_mode_trains_below_minsum_loss(self, setup):
+        """A few steps on the corrected model reduce loss below its (exactly
+        classical min-sum) starting point — corrections receive gradient."""
+        _, _, _, H, plan = setup
+        model = create_corrected_minsum_gnn_decoder(plan, num_iterations=3, hidden_dim=8)
+        tr = LDPCDecoderTrainer(model, plan, seed=3)
+        tr.train(num_epochs=20, batch_size=32, learning_rate=3e-3,
+                 snr_range=[0.0], validation_interval=100, optimizer="adam",
+                 weight_decay=0.0)
+        assert all(np.isfinite(tr.train_losses))
+        assert np.mean(tr.train_losses[-4:]) < np.mean(tr.train_losses[:4])
 
 
 class TestTraining:
