@@ -11,6 +11,7 @@ reference re-traces per-batch Python channel loops every step).
 from __future__ import annotations
 
 import json
+from functools import partial
 from pathlib import Path
 from typing import Any, Callable
 
@@ -49,6 +50,8 @@ class LDPCDecoderTrainer:
         self.init_key, self.data_key = jax.random.split(key)
         dummy = jnp.zeros((2, self.n))
         self.params = model.init(self.init_key, dummy, plan)
+        self.opt_state = None  # train_steps state (resumable)
+        self.step = 0
         # Training history (payload parity with reference trainer.py:39-43)
         self.train_losses: list[float] = []
         self.val_losses: list[float] = []
@@ -147,6 +150,114 @@ class LDPCDecoderTrainer:
                     log(f"  val loss {vl:.6f} ber {ber:.6f} fer {fer:.6f}")
         return self.history()
 
+    # -- production training (scan-fused) -----------------------------------
+
+    def train_steps(
+        self,
+        num_steps: int,
+        batch_size: int,
+        learning_rate: float,
+        snr_range=None,
+        data_mode: str = "random_codewords",
+        optimizer: str = "adam",
+        weight_decay: float = 0.0,
+        grad_clip: float = 0.0,
+        scan_steps: int = 100,
+        lr_schedule: str = "cosine",
+        warmup_steps: int = 0,
+        log: Callable[[str], None] | None = None,
+        checkpoint_fn: Callable[[], None] | None = None,
+    ) -> dict[str, Any]:
+        """Large-budget training: ``lax.scan`` fuses ``scan_steps`` optimizer
+        steps into one compiled device call.
+
+        The reference loop (and :meth:`train`, which keeps its shape) fetches
+        the loss every step — one host<->device round-trip per step, which on
+        a remote TPU is latency-bound, not compute-bound.  Here the whole
+        chunk runs on-device (per-step SNR sampled uniformly over
+        [min(snr_range), max(snr_range)], fresh PRNG per step) and only the
+        per-chunk loss vector crosses the wire.  Buffers are donated, so
+        params/optimizer state never round-trip at all.
+
+        Resumable: optimizer state and step count live on ``self`` and are
+        included in :meth:`save_state`/:meth:`load_state` checkpoints.
+        ``checkpoint_fn`` (if given) runs after every chunk.
+        """
+        if snr_range is None:
+            snr_range = [-2.0, 0.0, 2.0, 4.0]
+        lo, hi = float(min(snr_range)), float(max(snr_range))
+        if lr_schedule == "cosine":
+            sched = optax.warmup_cosine_decay_schedule(
+                0.0, learning_rate, max(warmup_steps, 1), max(num_steps, 2)
+            )
+        elif lr_schedule == "constant":
+            sched = learning_rate
+        else:
+            raise ValueError(f"unknown lr_schedule {lr_schedule!r}")
+        if optimizer == "adam":
+            opt = optax.adam(sched)
+        elif optimizer == "sgd":
+            opt = optax.sgd(sched, momentum=0.9)
+        else:
+            raise ValueError(f"unknown optimizer {optimizer!r}")
+        parts = [optax.add_decayed_weights(weight_decay), opt]
+        if grad_clip > 0:
+            parts.insert(0, optax.clip_by_global_norm(grad_clip))
+        tx = optax.chain(*parts)
+        if self.opt_state is None:
+            self.opt_state = tx.init(self.params)
+            pending = getattr(self, "_pending_opt_state", None)
+            if pending is not None:  # load_state ran before the first train_steps
+                self.opt_state = serialization.from_state_dict(self.opt_state, pending)
+                self._pending_opt_state = None
+            else:
+                self.step = 0
+        if data_mode == "random_codewords" and self.encoder is None:
+            raise ValueError("data_mode='random_codewords' requires encoder=")
+        encoder = self.encoder
+
+        def one_step(carry, _):
+            params, opt_state, key = carry
+            key, kb, kc, ks = jax.random.split(key, 4)
+            snr_db = jax.random.uniform(ks, (), minval=lo, maxval=hi)
+            if data_mode == "zero_codewords":
+                bits = jnp.zeros((batch_size, self.n), jnp.float32)
+            elif data_mode == "random_codewords":
+                bits = encoder.random_codewords(kb, batch_size)
+            else:
+                bits = jax.random.bernoulli(kb, 0.5, (batch_size, self.n)).astype(jnp.float32)
+            llr = self._channel(kc, bits, snr_db)
+
+            def loss_fn(p):
+                _, loss = self.model.apply(p, llr, self.plan, bits)
+                return loss.mean()
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state, key), loss
+
+        @partial(jax.jit, donate_argnums=(0, 1), static_argnames=("k",))
+        def chunk(params, opt_state, key, k):
+            (params, opt_state, _), losses = jax.lax.scan(
+                one_step, (params, opt_state, key), length=k
+            )
+            return params, opt_state, losses
+
+        while self.step < num_steps:
+            k = min(scan_steps, num_steps - self.step)
+            self.data_key, sub = jax.random.split(self.data_key)
+            self.params, self.opt_state, losses = chunk(
+                self.params, self.opt_state, sub, k
+            )
+            losses = np.asarray(losses)  # value fetch = real synchronization
+            self.train_losses.extend(float(x) for x in losses)
+            self.step += k
+            if log:
+                log(f"step {self.step}/{num_steps} loss {losses.mean():.6f}")
+            if checkpoint_fn is not None:
+                checkpoint_fn()
+        return self.history()
+
     def validate(self, batch_size: int, snr_range,
                  data_mode: str = "random_bits") -> tuple[float, float, float]:
         """Validation across SNRs (reference trainer.py:142-200); data
@@ -237,6 +348,40 @@ class LDPCDecoderTrainer:
     def load_model(self, path: str | Path) -> None:
         payload = serialization.msgpack_restore(Path(path).read_bytes())
         self.params = serialization.from_state_dict(self.params, payload["params"])
+        hist = payload.get("history", {})
+        self.train_losses = list(np.asarray(hist.get("train_losses", [])))
+        self.val_losses = list(np.asarray(hist.get("val_losses", [])))
+        self.ber_history = list(np.asarray(hist.get("ber_history", [])))
+        self.fer_history = list(np.asarray(hist.get("fer_history", [])))
+
+    def save_state(self, path: str | Path) -> None:
+        """Full resumable checkpoint: params + optimizer state + step +
+        history + the data-PRNG key (a :meth:`train_steps` run interrupted
+        and resumed from this file continues the identical trajectory)."""
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        payload = {
+            "params": serialization.to_state_dict(self.params),
+            "opt_state": serialization.to_state_dict(self.opt_state),
+            "step": self.step,
+            "data_key": np.asarray(self.data_key),
+            "history": {k: np.asarray(v, dtype=np.float64) for k, v in self.history().items()},
+        }
+        tmp = path.with_suffix(path.suffix + ".tmp")
+        tmp.write_bytes(serialization.msgpack_serialize(payload))
+        tmp.replace(path)  # atomic: a mid-write kill never corrupts the checkpoint
+
+    def load_state(self, path: str | Path) -> None:
+        """Restore a :meth:`save_state` checkpoint.  ``self.opt_state`` must
+        already be a template of the right structure (call ``train_steps``
+        with ``num_steps=0`` first, or pass the same optimizer config)."""
+        payload = serialization.msgpack_restore(Path(path).read_bytes())
+        self.params = serialization.from_state_dict(self.params, payload["params"])
+        if self.opt_state is not None and payload.get("opt_state") is not None:
+            self.opt_state = serialization.from_state_dict(self.opt_state, payload["opt_state"])
+        self._pending_opt_state = payload.get("opt_state")
+        self.step = int(payload["step"])
+        self.data_key = jnp.asarray(payload["data_key"], dtype=jnp.uint32)
         hist = payload.get("history", {})
         self.train_losses = list(np.asarray(hist.get("train_losses", [])))
         self.val_losses = list(np.asarray(hist.get("val_losses", [])))

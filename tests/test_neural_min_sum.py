@@ -120,6 +120,42 @@ class TestTraining:
         assert bers[1] <= bers[0]
         assert all(0 <= b <= 1 for b in bers + fers)
 
+    def test_train_steps_loss_decreases(self, plan):
+        model = make_standard_decoder(num_iterations=3, depth_L=2)
+        trainer = LDPCDecoderTrainer(model, plan, seed=0)
+        trainer.train_steps(num_steps=40, batch_size=32, learning_rate=0.01,
+                            snr_range=[2.0, 4.0], data_mode="random_bits",
+                            scan_steps=10, warmup_steps=2)
+        assert trainer.step == 40
+        assert len(trainer.train_losses) == 40
+        assert np.mean(trainer.train_losses[-10:]) < np.mean(trainer.train_losses[:10])
+
+    def test_train_steps_resume_reproduces_trajectory(self, plan, tmp_path):
+        """Kill-and-resume from save_state matches the uninterrupted run
+        step for step (params, optimizer moments, data stream)."""
+        # constant LR: a cosine schedule's horizon is num_steps, so the
+        # interrupted leg (num_steps=10) would see a different schedule —
+        # resuming a scheduled run requires passing the same total num_steps
+        # and a stop via checkpoint_fn/KeyboardInterrupt instead.
+        kw = dict(batch_size=16, learning_rate=0.01, snr_range=[3.0],
+                  data_mode="random_bits", scan_steps=5, lr_schedule="constant")
+        model = make_standard_decoder(num_iterations=2)
+
+        ref = LDPCDecoderTrainer(model, plan, seed=7)
+        ref.train_steps(num_steps=20, **kw)
+
+        t1 = LDPCDecoderTrainer(model, plan, seed=7)
+        t1.train_steps(num_steps=10, **kw)
+        t1.save_state(tmp_path / "state.msgpack")
+        t2 = LDPCDecoderTrainer(model, plan, seed=99)  # different seed: all restored
+        t2.load_state(tmp_path / "state.msgpack")
+        t2.train_steps(num_steps=20, **kw)
+
+        assert t2.train_losses == pytest.approx(ref.train_losses)
+        same = jax.tree_util.tree_all(jax.tree_util.tree_map(
+            lambda a, b: bool(jnp.allclose(a, b)), ref.params, t2.params))
+        assert same
+
     def test_save_load_roundtrip(self, plan, tmp_path):
         model = make_standard_decoder(num_iterations=2)
         t1 = LDPCDecoderTrainer(model, plan, seed=3)

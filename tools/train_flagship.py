@@ -1,0 +1,129 @@
+"""Long-budget flagship training for the message-GNN decoder family.
+
+Trains on the real TPU with the scan-fused production path
+(``LDPCDecoderTrainer.train_steps``) and checkpoints the FULL training
+state (params + optimizer moments + step + data key) after every chunk, so
+the run can be killed at any moment — to free the TPU tunnel for other
+jobs — and resumed with the identical trajectory:
+
+    PYTHONPATH=. python tools/train_flagship.py --steps 60000 &
+    ...
+    kill <pid>                      # checkpoint already on disk
+    PYTHONPATH=. python tools/train_flagship.py --steps 60000   # resumes
+
+Default recipe: the corrected min-sum GNN (classical min-sum skeleton +
+zero-init GNN corrections, `ldpc_tpu/models/message_gnn.py`) on NR BG2 Z=4,
+random codewords, SNR uniform in [-3, 1] dB, Adam + cosine decay.
+"""
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+
+def build_model(name: str, plan, iters: int, hidden: int):
+    from ldpc_tpu.models.message_gnn import (
+        create_corrected_minsum_gnn_decoder,
+        create_message_gnn_decoder,
+    )
+    from ldpc_tpu.models.neural_min_sum import NeuralMinSumDecoder
+
+    if name == "corrected":
+        return create_corrected_minsum_gnn_decoder(
+            plan, num_iterations=iters, hidden_dim=hidden, input_injection=True
+        )
+    if name == "gnn":
+        return create_message_gnn_decoder(
+            plan, num_iterations=iters, hidden_dim=hidden, input_injection=True
+        )
+    if name == "oms_per_iter":
+        return NeuralMinSumDecoder(
+            num_iterations=iters, depth_L=2, weight_sharing="edge",
+            learnable_alpha=True, learnable_offset=True, per_iteration=True,
+            loss_mode="mean",
+        )
+    raise SystemExit(f"unknown --model {name!r}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="corrected")
+    ap.add_argument("--code", default="nr_2_0_4")
+    ap.add_argument("--Z", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--hidden", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=60000)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--warmup", type=int, default=500)
+    ap.add_argument("--snr-lo", type=float, default=-3.0)
+    ap.add_argument("--snr-hi", type=float, default=1.0)
+    ap.add_argument("--scan", type=int, default=200)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--tag", default=None, help="artifact name stem (default: model_code)")
+    ap.add_argument("--out-dir", default="results")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from ldpc_tpu.codes import encoder_from_H, expand_base_matrix, get_base_graph, qc_layout
+    from ldpc_tpu.ops import qc_msg
+    from ldpc_tpu.training import LDPCDecoderTrainer
+
+    tag = args.tag or f"{args.model}_{args.code}"
+    out_dir = Path(args.out_dir)
+    state_path = out_dir / f"{tag}_state.msgpack"
+    model_path = out_dir / f"{tag}.msgpack"
+
+    bg = get_base_graph(args.code)
+    qc = qc_layout(bg, args.Z)
+    plan = qc_msg.make_plan(qc)
+    enc = encoder_from_H(expand_base_matrix(bg, args.Z))
+    model = build_model(args.model, plan, args.iters, args.hidden)
+    trainer = LDPCDecoderTrainer(model, plan, seed=args.seed, encoder=enc)
+
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(trainer.params))
+    print(f"[{time.strftime('%H:%M:%S')}] backend={jax.default_backend()} "
+          f"model={args.model} code={args.code} Z={args.Z} iters={args.iters} "
+          f"hidden={args.hidden} params={n_params}", flush=True)
+
+    if state_path.exists():
+        trainer.load_state(state_path)
+        print(f"resumed from {state_path} at step {trainer.step}", flush=True)
+
+    t0 = time.time()
+    last = [trainer.step, t0]
+
+    def checkpoint() -> None:
+        trainer.save_state(state_path)
+        now = time.time()
+        rate = (trainer.step - last[0]) / max(now - last[1], 1e-9)
+        last[0], last[1] = trainer.step, now
+        k = min(len(trainer.train_losses), 200)
+        loss = sum(trainer.train_losses[-k:]) / max(k, 1)
+        print(f"[{time.strftime('%H:%M:%S')}] step {trainer.step}/{args.steps} "
+              f"loss(200) {loss:.5f}  {rate:.1f} steps/s", flush=True)
+
+    trainer.train_steps(
+        num_steps=args.steps, batch_size=args.batch, learning_rate=args.lr,
+        snr_range=[args.snr_lo, args.snr_hi], data_mode="random_codewords",
+        optimizer="adam", weight_decay=0.0, scan_steps=args.scan,
+        lr_schedule="cosine", warmup_steps=args.warmup,
+        checkpoint_fn=checkpoint,
+    )
+    trainer.save_model(model_path)
+    print(f"done in {time.time() - t0:.0f}s -> {model_path}", flush=True)
+
+    # Quick sanity eval (full curves come from tools/make_curves.py).
+    snrs = [-2.0, 0.0, 2.0]
+    bers, fers = trainer.evaluate_snr_range(
+        snrs, batch_size=1024, num_trials=20, use_encoder=True
+    )
+    for s, b, f in zip(snrs, bers, fers):
+        print(f"  SNR {s:+.0f} dB: BER {b:.3e} FER {f:.3e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
