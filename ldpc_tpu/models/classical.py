@@ -101,12 +101,28 @@ def _resolve_backend(backend: str, qc: QCLayout | None = None) -> str:
         if jax.default_backend() != "tpu":
             return "xla"
         if qc is not None:
-            from ldpc_tpu.ops.pallas_minsum import fused_kernel_fits
+            from ldpc_tpu.ops.pallas_minsum import fused_kernel_fits, pick_zlane_batch_tile
 
             if not fused_kernel_fits(qc):
-                return "xla"  # large Z: state exceeds VMEM
+                # Large Z: batch-in-lanes state exceeds VMEM; the Z-in-lanes
+                # kernel covers Z % 8 == 0 up to (and past) the 5G maximum
+                # Z=384, XLA the rest.
+                if qc.Z % 8 == 0 and pick_zlane_batch_tile(qc):
+                    return "fused_zlane"
+                return "xla"
         return "fused"
     return backend
+
+
+def _make_fused(backend: str, qc: QCLayout, max_iterations: int, *,
+                mode: str = "minsum", alpha: float = 0.75):
+    from ldpc_tpu.ops import pallas_minsum as pm
+
+    if backend == "fused":
+        return pm.make_fused_minsum(qc, max_iterations, alpha, mode=mode)
+    if backend == "fused_zlane":
+        return pm.make_fused_minsum_zlane(qc, max_iterations, alpha, mode=mode)
+    return None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -129,12 +145,11 @@ class BeliefPropagationDecoder:
 
     def __post_init__(self):
         object.__setattr__(self, "_plan", qc_msg.make_plan(self.qc))
-        if _resolve_backend(self.backend, self.qc) == "fused":
-            from ldpc_tpu.ops.pallas_minsum import make_fused_bp
-
-            object.__setattr__(self, "_fused", make_fused_bp(self.qc, self.max_iterations))
-        else:
-            object.__setattr__(self, "_fused", None)
+        resolved = _resolve_backend(self.backend, self.qc)
+        object.__setattr__(
+            self, "_fused",
+            _make_fused(resolved, self.qc, self.max_iterations, mode="sumproduct", alpha=1.0),
+        )
 
     def decode_full(self, llr: Array) -> DecodeResult:
         return decode_bp(llr, self._plan, self.max_iterations)
@@ -163,16 +178,11 @@ class MinSumScaledDecoder:
 
     def __post_init__(self):
         object.__setattr__(self, "_plan", qc_msg.make_plan(self.qc))
-        if _resolve_backend(self.backend, self.qc) == "fused":
-            from ldpc_tpu.ops.pallas_minsum import make_fused_minsum
-
-            object.__setattr__(
-                self,
-                "_fused",
-                make_fused_minsum(self.qc, self.max_iterations, self.scaling_factor),
-            )
-        else:
-            object.__setattr__(self, "_fused", None)
+        resolved = _resolve_backend(self.backend, self.qc)
+        object.__setattr__(
+            self, "_fused",
+            _make_fused(resolved, self.qc, self.max_iterations, alpha=self.scaling_factor),
+        )
 
     def decode_full(self, llr: Array) -> DecodeResult:
         return decode_min_sum(llr, self._plan, self.max_iterations, self.scaling_factor)

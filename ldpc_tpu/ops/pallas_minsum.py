@@ -285,6 +285,219 @@ def make_fused_minsum(
     return decode
 
 
+# ---------------------------------------------------------------------------
+# Large-Z variant: Z in the lane dimension
+# ---------------------------------------------------------------------------
+#
+# The kernel above lays messages out as (Z, batch_tile=128) blocks — batch in
+# the lanes — so VMEM holds (K + 5C) * Z * 4 bytes *per lane*, which caps Z
+# around 48.  For production 5G lifting sizes (Z up to 384) the same decode
+# stays fully VMEM-resident by transposing the layout: each base edge's Z
+# circulant positions live in the *lanes* (padded to a 128 multiple) and the
+# batch tile drops into the sublanes (8-32 frames).  The check<->variable
+# alignment roll becomes a lane rotation, and per-sublane state is
+# (K + 5C) * Bt * Zp * 4 bytes total — 5.6 MiB at Z=384 / Bt=8 (75k edges).
+
+
+def zlane_vmem_bytes(qc: QCLayout, batch_tile: int = 8) -> int:
+    Zp = -(-qc.Z // 128) * 128
+    return (qc.num_base_edges + 5 * qc.num_base_cols) * batch_tile * Zp * 4
+
+
+def pick_zlane_batch_tile(qc: QCLayout) -> int:
+    """Largest batch tile (sublanes) whose state fits the VMEM budget."""
+    for bt in (32, 16, 8):
+        if zlane_vmem_bytes(qc, bt) <= _VMEM_BUDGET:
+            return bt
+    return 0
+
+
+def _roll_lanes(x: Array, s: int, Z: int) -> Array:
+    """Roll the first Z lanes of (Bt, Z) down by s: out[:, i] = x[:, (i-s)%Z]."""
+    s = s % Z
+    if s == 0:
+        return x
+    if Z % 128 == 0:
+        return pltpu.roll(x, s, 1)
+    return jnp.concatenate([x[:, Z - s :], x[:, : Z - s]], axis=1)
+
+
+def _kernel_zlane(llr_ref, bits_ref, conv_ref, c2v, beliefs, frozen, conv_buf, *,
+                  st: _Structure, max_iterations: int, alpha: float,
+                  mode: str = "minsum", track_convergence: bool = True):
+    Z, K, C, R = st.Z, st.K, st.C, st.R
+    Bt = conv_ref.shape[0]
+    Zp = llr_ref.shape[1]
+
+    c2v[:] = jnp.zeros_like(c2v)
+    frozen[:] = jnp.zeros_like(frozen)
+    conv_buf[:] = jnp.zeros_like(conv_buf)
+    beliefs[:] = llr_ref[:]
+
+    def eb(k):  # edge/column block row range (sublanes)
+        return pl.ds(k * Bt, Bt)
+
+    def iteration(t, _):
+        for r in range(R):
+            members = st.row_members[r]
+            rolled = []
+            if mode == "minsum":
+                m1 = jnp.full((Bt, Z), _BIG, jnp.float32)
+                m2 = jnp.full((Bt, Z), _BIG, jnp.float32)
+                sp = jnp.ones((Bt, Z), jnp.float32)
+                for k in members:
+                    v2c = beliefs[eb(st.cols[k]), :Z] - c2v[eb(k), :Z]
+                    x = _roll_lanes(v2c, -st.shifts[k], Z)
+                    rolled.append(x)
+                    sgn = jnp.where(x < 0, -1.0, 1.0)
+                    mag = jnp.abs(x)
+                    sp = sp * sgn
+                    new_min = jnp.minimum(mag, m1)
+                    m2 = jnp.minimum(jnp.maximum(mag, m1), m2)
+                    m1 = new_min
+                for k, x in zip(members, rolled):
+                    sgn = jnp.where(x < 0, -1.0, 1.0)
+                    mag = jnp.abs(x)
+                    loo = jnp.where(mag > m1, m1, m2)
+                    loo = jnp.where(loo < _BIG, loo, 0.0)
+                    out = alpha * sp * sgn * loo
+                    c2v[eb(k), :Z] = _roll_lanes(out, st.shifts[k], Z)
+            else:  # sum-product
+                phi_sum = jnp.zeros((Bt, Z), jnp.float32)
+                sp = jnp.ones((Bt, Z), jnp.float32)
+                phis = []
+                for k in members:
+                    v2c = beliefs[eb(st.cols[k]), :Z] - c2v[eb(k), :Z]
+                    x = _roll_lanes(v2c, -st.shifts[k], Z)
+                    sgn = jnp.where(x < 0, -1.0, 1.0)
+                    ph = _phi(jnp.clip(jnp.abs(x), 1e-7, 20.0))
+                    rolled.append(sgn)
+                    phis.append(ph)
+                    phi_sum = phi_sum + ph
+                    sp = sp * sgn
+                for k, sgn, ph in zip(members, rolled, phis):
+                    loo = jnp.maximum(phi_sum - ph, 1e-7)
+                    out = sp * sgn * _phi(loo)
+                    c2v[eb(k), :Z] = _roll_lanes(out, st.shifts[k], Z)
+
+        for c in range(C):
+            colsum = jnp.zeros((Bt, Z), jnp.float32)
+            for k in st.col_members[c]:
+                colsum = colsum + c2v[eb(k), :Z]
+            beliefs[eb(c), :Z] = llr_ref[eb(c), :Z] + colsum
+        if track_convergence:
+            # Parity via sign-products read straight from the beliefs scratch
+            # (sum mod 2 == 0  <=>  product of per-bit signs == +1): no
+            # mod-2 arithmetic, no list of C live (Bt, Z) hard-bit arrays
+            # spilling to the Mosaic stack, one cross-lane reduction and one
+            # mask broadcast per iteration — lane ops are the costly ones in
+            # this layout.
+            m = jnp.ones((Bt, Z), jnp.float32)
+            for r in range(R):
+                sp = jnp.ones((Bt, Z), jnp.float32)
+                for k in st.row_members[r]:
+                    b = beliefs[eb(st.cols[k]), :Z]
+                    sp = sp * _roll_lanes(jnp.where(b < 0, -1.0, 1.0), -st.shifts[k], Z)
+                m = jnp.minimum(m, sp)
+            ok = jnp.min(m, axis=1, keepdims=True) > 0.0  # (Bt, 1)
+            newly = jnp.logical_and(ok, conv_buf[:, 0:1] == 0.0)
+            newly_b = jnp.broadcast_to(newly, (Bt, Z))
+            for c in range(C):
+                bits_c = jnp.where(beliefs[eb(c), :Z] < 0, 1.0, 0.0)
+                frozen[eb(c), :Z] = jnp.where(newly_b, bits_c, frozen[eb(c), :Z])
+            conv_buf[:, 0:1] = jnp.where(newly, jnp.float32(t + 1), conv_buf[:, 0:1])
+        return 0
+
+    jax.lax.fori_loop(0, max_iterations, iteration, 0, unroll=False)
+
+    converged = conv_buf[:, 0:1] > 0.0
+    for c in range(C):
+        final_bits = jnp.where(beliefs[eb(c), :Z] < 0, 1.0, 0.0)
+        bits_ref[eb(c), :Z] = jnp.where(converged, frozen[eb(c), :Z], final_bits)
+    conv_ref[:] = jnp.where(
+        converged, conv_buf[:, 0:1], jnp.float32(max_iterations)
+    ) * jnp.ones_like(conv_ref)
+
+
+def make_fused_minsum_zlane(
+    qc: QCLayout,
+    max_iterations: int = 20,
+    alpha: float = 0.75,
+    batch_tile: int | None = None,
+    interpret: bool = False,
+    mode: str = "minsum",
+    track_convergence: bool = True,
+):
+    """Large-Z fused decoder (Z in lanes): (B, n) LLRs -> (bits, conv_iter).
+
+    Same semantics as :func:`make_fused_minsum`; use for Z where the
+    batch-in-lanes layout exceeds VMEM (``fused_kernel_fits`` False).
+    ``batch_tile`` is the sublane tile (default: largest of 8/16/32 that
+    fits). Requires Z % 8 == 0 (sublane-transpose-free lane padding).
+    """
+    st = _structure(qc)
+    Z, C, K = st.Z, st.C, st.K
+    n = C * Z
+    Zp = -(-Z // 128) * 128
+    if Z % 8:
+        raise ValueError(f"zlane kernel requires Z % 8 == 0, got Z={Z}")
+    Bt = batch_tile or pick_zlane_batch_tile(qc)
+    if not Bt or zlane_vmem_bytes(qc, Bt) > _VMEM_BUDGET:
+        raise ValueError(
+            f"zlane kernel state exceeds the ~{_VMEM_BUDGET / 2**20:.0f} MiB "
+            f"VMEM budget at Z={Z} (batch_tile={Bt})"
+        )
+
+    kernel = functools.partial(
+        _kernel_zlane, st=st, max_iterations=max_iterations, alpha=alpha,
+        mode=mode, track_convergence=track_convergence,
+    )
+
+    @jax.jit
+    def decode(llr: Array):
+        B = llr.shape[0]
+        if B % Bt:
+            pad = Bt - B % Bt
+            llr = jnp.concatenate([llr, jnp.zeros((pad, n), llr.dtype)], axis=0)
+        Bp = llr.shape[0]
+        nt = Bp // Bt
+        # (B, n) -> (nt*C*Bt, Zp): per tile, per base column, Bt sublane rows
+        # of Z lanes (zero-padded to Zp).
+        g = llr.reshape(nt, Bt, C, Z).transpose(0, 2, 1, 3).reshape(nt * C * Bt, Z)
+        if Zp != Z:
+            g = jnp.pad(g, ((0, 0), (0, Zp - Z)))
+        bits_g, conv = pl.pallas_call(
+            kernel,
+            grid=(nt,),
+            in_specs=[
+                pl.BlockSpec((C * Bt, Zp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((C * Bt, Zp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((Bt, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((nt * C * Bt, Zp), jnp.float32),
+                jax.ShapeDtypeStruct((nt * Bt, 128), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((K * Bt, Zp), jnp.float32),  # c2v
+                pltpu.VMEM((C * Bt, Zp), jnp.float32),  # beliefs
+                pltpu.VMEM((C * Bt, Zp), jnp.float32),  # frozen bits
+                pltpu.VMEM((Bt, 128), jnp.float32),  # conv iter
+            ],
+            interpret=interpret,
+        )(g)
+        bits = (
+            bits_g.reshape(nt, C, Bt, Zp)[..., :Z]
+            .transpose(0, 2, 1, 3)
+            .reshape(Bp, n)
+        )
+        return bits[:B], conv[:B, 0].astype(jnp.int32)
+
+    return decode
+
+
 def make_fused_bp(
     qc: QCLayout,
     max_iterations: int = 50,

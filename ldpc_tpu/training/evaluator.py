@@ -76,11 +76,13 @@ class ComparativeEvaluator:
         the VMEM-resident Pallas kernel instead of the XLA scan."""
         plan = self.plan
         if fused:
-            from ldpc_tpu.ops.pallas_minsum import make_fused_bp
+            from ldpc_tpu.models.classical import _make_fused, _resolve_backend
 
-            kernel = make_fused_bp(qc, max_iterations)
-            self.add_decoder(name, lambda llr: kernel(llr)[0], lambda llr: kernel(llr)[1])
-            return
+            kernel = _make_fused(_resolve_backend("auto", qc), qc, max_iterations,
+                                 mode="sumproduct", alpha=1.0)
+            if kernel is not None:  # else: fall through to the XLA path
+                self.add_decoder(name, lambda llr: kernel(llr)[0], lambda llr: kernel(llr)[1])
+                return
 
         def decode(llr):
             return decode_bp(llr, plan, max_iterations).bits
@@ -94,11 +96,13 @@ class ComparativeEvaluator:
                     name: str = "Min-Sum Scaled", qc=None, fused: bool = False):
         plan = self.plan
         if fused:
-            from ldpc_tpu.ops.pallas_minsum import make_fused_minsum
+            from ldpc_tpu.models.classical import _make_fused, _resolve_backend
 
-            kernel = make_fused_minsum(qc, max_iterations, scaling_factor)
-            self.add_decoder(name, lambda llr: kernel(llr)[0], lambda llr: kernel(llr)[1])
-            return
+            kernel = _make_fused(_resolve_backend("auto", qc), qc, max_iterations,
+                                 alpha=scaling_factor)
+            if kernel is not None:  # else: fall through to the XLA path
+                self.add_decoder(name, lambda llr: kernel(llr)[0], lambda llr: kernel(llr)[1])
+                return
 
         def decode(llr):
             return decode_min_sum(llr, plan, max_iterations, scaling_factor).bits
