@@ -83,6 +83,24 @@ def main() -> None:
     dt_gnn, _ = time_fn(lambda i: gnn_pipe(params, jax.random.PRNGKey(i), GNN_BATCH), reps=5)
     gnn_bps = GNN_BATCH * n / dt_gnn
 
+    # --- large-Z (Z=384, 5G maximum) via the Z-in-lanes kernel -------------
+    zlane_bps = None
+    if on_tpu:
+        from ldpc_tpu.ops.pallas_minsum import make_fused_minsum_zlane
+
+        qc384 = qc_layout(get_base_graph(CODE), 384)
+        n384 = qc384.num_base_cols * 384
+        zfused = make_fused_minsum_zlane(qc384, ITERS, 0.75)
+
+        @jax.jit
+        def zlane_pipe(key):
+            llr = bpsk_awgn_llr(key, jnp.zeros((512, n384)), 3.0)
+            bits, conv = zfused(llr)
+            return bits.sum(), conv.astype(jnp.float32).mean()
+
+        dt_z, _ = time_fn(lambda i: zlane_pipe(jax.random.PRNGKey(i)), reps=5)
+        zlane_bps = 512 * n384 / dt_z
+
     print(
         json.dumps(
             {
@@ -100,6 +118,7 @@ def main() -> None:
                     "minsum_bit_errors_at_3db": float(err_ms),
                     "minsum_mean_conv_iters": round(float(iters_ms), 2),
                     "msg_gnn_bits_per_s": round(gnn_bps, 1),
+                    "z384_zlane_bits_per_s": round(zlane_bps, 1) if zlane_bps else None,
                     "msg_gnn_hidden": GNN_HIDDEN,
                     "msg_gnn_batch": GNN_BATCH,
                     "baseline_bits_per_s": REF_BITS_PER_S,

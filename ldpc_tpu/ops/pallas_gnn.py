@@ -1,0 +1,329 @@
+"""Fused Pallas TPU inference kernel for the message-centered GNN decoder.
+
+Serving path for :class:`~ldpc_tpu.models.message_gnn.MessageGNNDecoder`
+(fully-neural mode): the whole iterative forward — type-typed message
+features, within-group means over both relations, the two 2-layer MLPs,
+residual skips, output projection and per-variable aggregation — runs in
+one kernel with every feature block VMEM-resident.  The XLA path
+round-trips the (K, Z, B, h) feature tensor through HBM ~6 times per
+iteration (embedding add, two group means, two MLP stacks, residual); here
+HBM traffic collapses to one LLR read and one soft-bit write per tile.
+
+Layout (per batch tile):
+
+* lanes carry ``Z * Bt`` positions, z-major (``lane = z * Bt + b``), so the
+  circulant check<->variable alignment for shift s is a lane rotation by
+  ``s * Bt`` — the same trick as :mod:`ldpc_tpu.ops.pallas_minsum`, lifted
+  to h-row feature blocks.  When Z does not divide 128, the tile holds one
+  frame (``Bt = 1``) with Z padded to a lane multiple and static
+  concat-rolls.
+* sublanes carry the hidden dimension: message k's features are the
+  ``(h, Z * Bt)`` block at rows ``k * h``.
+* the per-layer *type embeddings are folded away*: they enter the MLPs only
+  additively through the first Dense layer (both directly and through the
+  group means, which are linear), so their entire contribution is a
+  precomputed per-(iteration, edge) bias column — the kernel never
+  materializes ``feats + type_emb``.
+
+Weight layout: per-iteration stacks sliced with ``pl.ds(t * h, h)`` inside a
+``fori_loop`` (an unrolled iteration loop at K=197 edges would blow the
+Mosaic stack allocator; cf. pallas_neural.py).
+
+Reference parity target: `message_gnn_decoder.py:155-353` (intended
+semantics); numerical agreement with the XLA module is asserted in
+tests/test_pallas_gnn.py.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ldpc_tpu.codes.edge_layout import QCLayout
+from ldpc_tpu.ops.pallas_minsum import _VMEM_BUDGET, _roll_lanes, _structure
+
+Array = jax.Array
+
+
+def _extract(params, qc: QCLayout, num_iterations: int, hidden_dim: int,
+             share_layers: bool, input_injection: bool):
+    """Flax param tree -> packed numpy weight arrays for the kernel."""
+    p = params["params"] if "params" in params else params
+    h = hidden_dim
+    T = num_iterations
+    K = qc.num_base_edges
+    h_in = 3 * h if input_injection else 2 * h
+
+    emb_w = np.asarray(p["input_embedding"]["kernel"], np.float32).reshape(h)
+    emb_b = np.asarray(p["input_embedding"]["bias"], np.float32).reshape(h)
+    proj_w = np.asarray(p["output_projection"]["kernel"], np.float32).reshape(h)
+    proj_b = float(np.asarray(p["output_projection"]["bias"]).reshape(()))
+
+    # Per-relation group-mean weights for the type-embedding fold.
+    col_members = [[] for _ in range(qc.num_base_cols)]
+    row_members = [[] for _ in range(qc.num_base_rows)]
+    for k in range(K):
+        col_members[qc.edge_col[k]].append(k)
+        row_members[qc.edge_row[k]].append(k)
+
+    W1v = np.zeros((T, h, h_in), np.float32)  # transposed for (h,h_in)@(h_in,L)
+    W2v = np.zeros((T, h, h), np.float32)
+    W1c = np.zeros((T, h, h_in), np.float32)
+    W2c = np.zeros((T, h, h), np.float32)
+    b2v = np.zeros((T, h), np.float32)
+    b2c = np.zeros((T, h), np.float32)
+    bias1v = np.zeros((T, h, K), np.float32)  # b1 + type-embedding fold
+    bias1c = np.zeros((T, h, K), np.float32)
+
+    for t in range(T):
+        name = "gnn_layer" if share_layers else f"gnn_layer_{t}"
+        lp = p[name]
+        te = np.asarray(lp["message_type_embeddings"], np.float32)  # (n_types, h)
+        te_edge = te[np.asarray(qc.edge_type)]  # (K, h)
+        te_var = np.stack([  # mean over my variable's clique
+            te_edge[col_members[qc.edge_col[k]]].mean(axis=0) for k in range(K)
+        ])
+        te_chk = np.stack([  # mean over my check's clique (roll-invariant)
+            te_edge[row_members[qc.edge_row[k]]].mean(axis=0) for k in range(K)
+        ])
+        for prefix, W1, W2, b2, bias1, te_agg in (
+            ("var_to_check_update", W1v, W2v, b2v, bias1v, te_var),
+            ("check_to_var_update", W1c, W2c, b2c, bias1c, te_chk),
+        ):
+            k1 = np.asarray(lp[prefix]["Dense_0"]["kernel"], np.float32)  # (h_in, h)
+            bb1 = np.asarray(lp[prefix]["Dense_0"]["bias"], np.float32)
+            k2 = np.asarray(lp[prefix]["Dense_1"]["kernel"], np.float32)  # (h, h)
+            bb2 = np.asarray(lp[prefix]["Dense_1"]["bias"], np.float32)
+            W1[t] = k1.T
+            W2[t] = k2.T
+            b2[t] = bb2
+            te_cat = np.zeros((K, h_in), np.float32)
+            te_cat[:, :h] = te_edge
+            te_cat[:, h : 2 * h] = te_agg
+            # llr block (if any) contributes no type embedding
+            bias1[t] = (te_cat @ k1 + bb1).T  # (h, K)
+
+    return dict(
+        emb_w=emb_w, emb_b=emb_b, proj_w=proj_w, proj_b=proj_b,
+        W1v=W1v, W2v=W2v, W1c=W1c, W2c=W2c, b2v=b2v, b2c=b2c,
+        bias1v=bias1v, bias1c=bias1c, h_in=h_in,
+    )
+
+
+def gnn_vmem_bytes(qc: QCLayout, hidden_dim: int, lanes: int,
+                   input_injection: bool) -> int:
+    K, C, R = qc.num_base_edges, qc.num_base_cols, qc.num_base_rows
+    h = hidden_dim
+    feat_blocks = K * (2 if input_injection else 1) + C + R
+    return feat_blocks * h * lanes * 2 + 2 * C * lanes * 4  # bf16 feats + f32 io
+
+
+def _kernel(llr_ref, w1v_ref, w2v_ref, w1c_ref, w2c_ref, b1v_ref, b1c_ref,
+            b2v_ref, b2c_ref, emb_ref, soft_ref,
+            feats, llr_feats, var_mean, row_mean, *, st, h: int, T: int,
+            Bt: int, lanes: int, inject: bool, residual_from: int = 1):
+    Z, K, C, R = st.Z, st.K, st.C, st.R
+    packed = Bt > 1
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+
+    def roll(x, s):
+        if packed:
+            s = (s % Z) * Bt
+            return x if s == 0 else pltpu.roll(x, s, 1)
+        return _roll_lanes(x, s, Z)
+
+    def fb(k):  # feature block rows for message k
+        return pl.ds(k * h, h)
+
+    # ---- seed: feats0 = emb_w * llr[col] + emb_b --------------------------
+    emb_w = emb_ref[0:h, 0:1]  # (h, 1)
+    emb_b = emb_ref[h : 2 * h, 0:1]
+    for k in range(K):
+        row = llr_ref[st.cols[k] : st.cols[k] + 1, :]  # (1, lanes) f32
+        f0 = (jnp.broadcast_to(row, (h, lanes)) * emb_w + emb_b).astype(bf16)
+        feats[fb(k), :] = f0
+        if inject:
+            llr_feats[fb(k), :] = f0
+
+    inv_dc = [1.0 / max(len(st.col_members[c]), 1) for c in range(C)]
+    inv_dr = [1.0 / max(len(st.row_members[r]), 1) for r in range(R)]
+
+    def iteration(t, _):
+        th = pl.ds(t * h, h)
+        # ---- group means over both relations (pure data; the type-
+        # embedding part of the mean is folded into bias1) ------------------
+        for c in range(C):
+            acc = jnp.zeros((h, lanes), f32)
+            for k in st.col_members[c]:
+                acc = acc + feats[fb(k), :].astype(f32)
+            var_mean[fb(c), :] = (acc * inv_dc[c]).astype(bf16)
+        for r in range(R):
+            acc = jnp.zeros((h, lanes), f32)
+            for k in st.row_members[r]:
+                acc = acc + roll(feats[fb(k), :], -st.shifts[k]).astype(f32)
+            row_mean[fb(r), :] = (acc * inv_dr[r]).astype(bf16)
+
+        h_in = 2 * h + (h if inject else 0)
+        w1v = w1v_ref[th, 0:h_in]  # (h, h_in) bf16
+        w2v = w2v_ref[th, 0:h]
+        w1c = w1c_ref[th, 0:h_in]
+        w2c = w2c_ref[th, 0:h]
+        b2v = b2v_ref[th, 0:1]  # (h, 1) f32
+        b2c = b2c_ref[th, 0:1]
+        res_gate = jnp.where(t >= residual_from, 1.0, 0.0).astype(f32)
+
+        # ---- per-message MLP updates --------------------------------------
+        for k in range(K):
+            f_k = feats[fb(k), :]
+            agg_v = var_mean[fb(st.cols[k]), :]
+            agg_c = roll(row_mean[fb(st.rows[k]), :], st.shifts[k])
+            parts_v = [f_k, agg_v] + ([llr_feats[fb(k), :]] if inject else [])
+            parts_c = [f_k, agg_c] + ([llr_feats[fb(k), :]] if inject else [])
+            xin_v = jnp.concatenate(parts_v, axis=0)  # (h_in, lanes) bf16
+            xin_c = jnp.concatenate(parts_c, axis=0)
+            pre_v = jnp.dot(w1v, xin_v, preferred_element_type=f32)
+            pre_v = pre_v + b1v_ref[th, k : k + 1]
+            h1_v = jnp.maximum(pre_v, 0.0).astype(bf16)
+            out_v = jnp.dot(w2v, h1_v, preferred_element_type=f32) + b2v
+            pre_c = jnp.dot(w1c, xin_c, preferred_element_type=f32)
+            pre_c = pre_c + b1c_ref[th, k : k + 1]
+            h1_c = jnp.maximum(pre_c, 0.0).astype(bf16)
+            out_c = jnp.dot(w2c, h1_c, preferred_element_type=f32) + b2c
+            new = out_v.astype(bf16) + out_c.astype(bf16)
+            feats[fb(k), :] = new + res_gate.astype(bf16) * f_k
+        return 0
+
+    jax.lax.fori_loop(0, T, iteration, 0, unroll=False)
+
+    # ---- output: proj, per-variable sum, sigmoid --------------------------
+    proj_w = emb_ref[2 * h : 3 * h, 0:1]  # (h, 1) f32
+    proj_b = emb_ref[3 * h : 3 * h + 1, 0:1]  # (1, 1)
+    for c in range(C):
+        acc = jnp.zeros((1, lanes), f32)
+        for k in st.col_members[c]:
+            contrib = jnp.sum(feats[fb(k), :].astype(f32) * proj_w, axis=0, keepdims=True)
+            acc = acc + contrib + proj_b
+        combined = llr_ref[c : c + 1, :] + acc
+        soft_ref[c : c + 1, :] = 1.0 / (1.0 + jnp.exp(combined))
+
+
+class _GNNStructure:
+    """Static structure + per-relation member lists for the kernel trace."""
+
+    def __init__(self, qc: QCLayout):
+        base = _structure(qc)
+        self.Z, self.R, self.C, self.K = base.Z, base.R, base.C, base.K
+        self.row_members = base.row_members
+        self.col_members = base.col_members
+        self.shifts = base.shifts
+        self.cols = base.cols
+        self.rows = tuple(int(r) for r in qc.edge_row)
+
+
+def make_fused_gnn_decoder(
+    qc: QCLayout,
+    params,
+    num_iterations: int = 5,
+    hidden_dim: int = 64,
+    share_layers: bool = False,
+    input_injection: bool = False,
+    interpret: bool = False,
+):
+    """Build the fused inference decoder: (B, n) LLRs -> (B, n) soft bits.
+
+    ``params`` is the trained Flax param tree of a fully-neural
+    :class:`MessageGNNDecoder` with matching hyperparameters.
+    """
+    st = _GNNStructure(qc)
+    Z, C, K, h = st.Z, st.C, st.K, hidden_dim
+    n = C * Z
+    T = num_iterations
+    if h % 8:
+        raise ValueError(f"hidden_dim must be a multiple of 8, got {h}")
+    if 128 % Z == 0:
+        Bt, lanes, packed = 128 // Z, 128, True
+    elif Z % 8 == 0:
+        Bt, lanes, packed = 1, -(-Z // 128) * 128, False
+    else:
+        raise ValueError(f"fused GNN kernel requires Z % 8 == 0 or Z | 128, got Z={Z}")
+    need = gnn_vmem_bytes(qc, h, lanes, input_injection)
+    if need > _VMEM_BUDGET:
+        raise ValueError(
+            f"fused GNN state ({need / 2**20:.1f} MiB) exceeds the "
+            f"~{_VMEM_BUDGET / 2**20:.0f} MiB VMEM budget (Z={Z}, h={h})"
+        )
+
+    w = _extract(params, qc, T, h, share_layers, input_injection)
+    h_in = w["h_in"]
+    Kpad = -(-K // 128) * 128
+    hpad = -(-h_in // 128) * 128
+
+    def stack(x, pad_to):  # (T, h, d) -> (T*h, pad_to)
+        T_, hh, d = x.shape
+        out = np.zeros((T_ * hh, pad_to), x.dtype)
+        out[:, :d] = x.reshape(T_ * hh, d)
+        return out
+
+    w1v = jnp.asarray(stack(w["W1v"], hpad), jnp.bfloat16)
+    w1c = jnp.asarray(stack(w["W1c"], hpad), jnp.bfloat16)
+    w2v = jnp.asarray(stack(w["W2v"], 128 if h <= 128 else h), jnp.bfloat16)
+    w2c = jnp.asarray(stack(w["W2c"], 128 if h <= 128 else h), jnp.bfloat16)
+    b1v = jnp.asarray(stack(w["bias1v"], Kpad), jnp.float32)
+    b1c = jnp.asarray(stack(w["bias1c"], Kpad), jnp.float32)
+    b2v = jnp.asarray(np.repeat(w["b2v"].reshape(T * h, 1), 128, 1), jnp.float32)
+    b2c = jnp.asarray(np.repeat(w["b2c"].reshape(T * h, 1), 128, 1), jnp.float32)
+    emb = np.zeros((3 * h + 8, 128), np.float32)
+    emb[0:h, :] = w["emb_w"][:, None]
+    emb[h : 2 * h, :] = w["emb_b"][:, None]
+    emb[2 * h : 3 * h, :] = w["proj_w"][:, None]
+    emb[3 * h, :] = w["proj_b"]
+    emb = jnp.asarray(emb)
+
+    kernel = functools.partial(
+        _kernel, st=st, h=h, T=T, Bt=Bt, lanes=lanes, inject=input_injection,
+    )
+    vm = pltpu.VMEM
+    weights = (w1v, w2v, w1c, w2c, b1v, b1c, b2v, b2c, emb)
+    wspecs = [
+        pl.BlockSpec(x.shape, lambda i: (0, 0), memory_space=vm) for x in weights
+    ]
+
+    @jax.jit
+    def decode(llr: Array) -> Array:
+        B = llr.shape[0]
+        if B % Bt:
+            pad = Bt - B % Bt
+            llr = jnp.concatenate([llr, jnp.zeros((pad, n), llr.dtype)], axis=0)
+        Bp = llr.shape[0]
+        nt = Bp // Bt
+        # z-major lanes: lane = z * Bt + b
+        g = llr.reshape(nt, Bt, C, Z).transpose(0, 2, 3, 1).reshape(nt * C, Z * Bt)
+        if lanes != Z * Bt:
+            g = jnp.pad(g, ((0, 0), (0, lanes - Z * Bt)))
+        soft = pl.pallas_call(
+            kernel,
+            grid=(nt,),
+            in_specs=[pl.BlockSpec((C, lanes), lambda i: (i, 0), memory_space=vm)]
+            + wspecs,
+            out_specs=pl.BlockSpec((C, lanes), lambda i: (i, 0), memory_space=vm),
+            out_shape=jax.ShapeDtypeStruct((nt * C, lanes), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((K * h, lanes), jnp.bfloat16),  # feats
+                pltpu.VMEM((K * h if input_injection else 8, lanes), jnp.bfloat16),
+                pltpu.VMEM((C * h, lanes), jnp.bfloat16),  # var-relation means
+                pltpu.VMEM((st.R * h, lanes), jnp.bfloat16),  # check-relation means
+            ],
+            interpret=interpret,
+        )(g, *weights)
+        soft = (
+            soft[:, : Z * Bt].reshape(nt, C, Z, Bt).transpose(0, 3, 1, 2).reshape(Bp, n)
+        )
+        return soft[:B]
+
+    return decode

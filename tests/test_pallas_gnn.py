@@ -1,0 +1,86 @@
+"""Fused message-GNN inference kernel vs the Flax module (interpret mode)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ldpc_tpu.codes import get_base_graph, qc_layout
+from ldpc_tpu.models.message_gnn import create_message_gnn_decoder
+from ldpc_tpu.ops import qc_msg
+from ldpc_tpu.ops.pallas_gnn import make_fused_gnn_decoder
+from ldpc_tpu.utils import bpsk_awgn_llr
+
+
+def _trained_like_params(model, llr, plan, seed):
+    """Init then perturb: zero-init projections would hide aggregation bugs."""
+    params = model.init(jax.random.PRNGKey(seed), llr, plan)
+    leaves, tree = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(seed + 1), len(leaves))
+    leaves = [
+        leaf + 0.05 * jax.random.normal(k, leaf.shape, leaf.dtype)
+        for leaf, k in zip(leaves, keys)
+    ]
+    return jax.tree_util.tree_unflatten(tree, leaves)
+
+
+@pytest.mark.parametrize("name,Z,inject,share", [
+    ("toy_4x8", 4, False, False),
+    ("toy_4x8", 4, True, False),
+    ("toy_4x8", 8, True, True),
+    ("nr_2_0_4", 4, True, False),
+])
+def test_matches_flax_module(name, Z, inject, share):
+    qc = qc_layout(get_base_graph(name), Z)
+    plan = qc_msg.make_plan(qc)
+    n = plan.C * plan.Z
+    iters, h = 3, 16
+    model = create_message_gnn_decoder(
+        plan, num_iterations=iters, hidden_dim=h,
+        input_injection=inject, share_layers=share,
+    )
+    llr = bpsk_awgn_llr(jax.random.PRNGKey(0), jnp.zeros((4, n)), 2.0)
+    params = _trained_like_params(model, llr, plan, seed=3)
+    soft_ref, _ = model.apply(params, llr, plan)
+
+    fused = make_fused_gnn_decoder(
+        qc, params, num_iterations=iters, hidden_dim=h,
+        share_layers=share, input_injection=inject, interpret=True,
+    )
+    soft = fused(llr)
+    a, b = np.asarray(soft), np.asarray(soft_ref)
+    # bf16 compute with different op orders (type embeddings folded into f32
+    # bias columns in the kernel): loose numeric tolerance, and strict
+    # decision agreement wherever the module itself is confident (random
+    # perturbed params put many soft values at ~0.5, where bf16 order noise
+    # legitimately flips the comparison).
+    np.testing.assert_allclose(a, b, atol=3e-2)
+    confident = np.abs(b - 0.5) > 0.05
+    assert confident.mean() > 0.5  # the check below must actually bite
+    assert ((a > 0.5) == (b > 0.5))[confident].all()
+
+
+def test_untrained_is_channel_passthrough():
+    """Zero-init output projection: fused kernel returns sigmoid(-llr)."""
+    qc = qc_layout(get_base_graph("toy_4x8"), 4)
+    plan = qc_msg.make_plan(qc)
+    n = plan.C * plan.Z
+    model = create_message_gnn_decoder(plan, num_iterations=2, hidden_dim=8)
+    llr = bpsk_awgn_llr(jax.random.PRNGKey(5), jnp.zeros((3, n)), 3.0)
+    params = model.init(jax.random.PRNGKey(6), llr, plan)
+    fused = make_fused_gnn_decoder(qc, params, num_iterations=2, hidden_dim=8,
+                                   interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(fused(llr)), np.asarray(jax.nn.sigmoid(-llr)), atol=1e-6
+    )
+
+
+def test_batch_padding():
+    qc = qc_layout(get_base_graph("toy_4x8"), 4)  # Bt = 32
+    plan = qc_msg.make_plan(qc)
+    n = plan.C * plan.Z
+    model = create_message_gnn_decoder(plan, num_iterations=2, hidden_dim=8)
+    llr = bpsk_awgn_llr(jax.random.PRNGKey(7), jnp.zeros((5, n)), 3.0)
+    params = model.init(jax.random.PRNGKey(8), llr, plan)
+    fused = make_fused_gnn_decoder(qc, params, num_iterations=2, hidden_dim=8,
+                                   interpret=True)
+    assert fused(llr).shape == (5, n)
