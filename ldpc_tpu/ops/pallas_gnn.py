@@ -226,6 +226,332 @@ class _GNNStructure:
         self.rows = tuple(int(r) for r in qc.edge_row)
 
 
+# ---------------------------------------------------------------------------
+# Corrected-mode serving kernel (flagship): min-sum + GNN corrections
+# ---------------------------------------------------------------------------
+
+
+def _extract_corrected(params, qc: QCLayout, num_iterations: int, hidden_dim: int,
+                       share_layers: bool, input_injection: bool):
+    """Params of a var/check="corrected" MessageGNNDecoder -> packed arrays.
+
+    Per iteration there are TWO GNN layers (check-half, var-half); stacks are
+    indexed ``2*t`` (check) / ``2*t + 1`` (var).
+    """
+    p = params["params"] if "params" in params else params
+    h = hidden_dim
+    T = num_iterations
+    K = qc.num_base_edges
+    h_in = 3 * h if input_injection else 2 * h
+
+    emb_w = np.asarray(p["input_embedding"]["kernel"], np.float32).reshape(h)
+    emb_b = np.asarray(p["input_embedding"]["bias"], np.float32).reshape(h)
+    w_ch = float(np.asarray(p["w_ch"]).reshape(()))
+    alpha = float(np.asarray(p["alpha"]).reshape(()))
+
+    col_members = [[] for _ in range(qc.num_base_cols)]
+    row_members = [[] for _ in range(qc.num_base_rows)]
+    for k in range(K):
+        col_members[qc.edge_col[k]].append(k)
+        row_members[qc.edge_row[k]].append(k)
+
+    T2 = 2 * T
+    W1v = np.zeros((T2, h, h_in), np.float32)
+    W2v = np.zeros((T2, h, h), np.float32)
+    W1c = np.zeros((T2, h, h_in), np.float32)
+    W2c = np.zeros((T2, h, h), np.float32)
+    b2v = np.zeros((T2, h), np.float32)
+    b2c = np.zeros((T2, h), np.float32)
+    bias1v = np.zeros((T2, h, K), np.float32)
+    bias1c = np.zeros((T2, h, K), np.float32)
+    proj_w = np.zeros((T2, h), np.float32)
+    proj_b = np.zeros((T2,), np.float32)
+
+    for t in range(T):
+        for half, prefix in ((0, "check"), (1, "var")):
+            name = prefix if share_layers else f"{prefix}_{t}"
+            lp = p[f"{name}_gnn"]
+            pr = p[f"{name}_proj"]
+            idx = 2 * t + half
+            proj_w[idx] = np.asarray(pr["kernel"], np.float32).reshape(h)
+            proj_b[idx] = float(np.asarray(pr["bias"]).reshape(()))
+            te = np.asarray(lp["message_type_embeddings"], np.float32)
+            te_edge = te[np.asarray(qc.edge_type)]
+            te_var = np.stack([
+                te_edge[col_members[qc.edge_col[k]]].mean(axis=0) for k in range(K)
+            ])
+            te_chk = np.stack([
+                te_edge[row_members[qc.edge_row[k]]].mean(axis=0) for k in range(K)
+            ])
+            for rel, W1, W2, b2, bias1, te_agg in (
+                ("var_to_check_update", W1v, W2v, b2v, bias1v, te_var),
+                ("check_to_var_update", W1c, W2c, b2c, bias1c, te_chk),
+            ):
+                k1 = np.asarray(lp[rel]["Dense_0"]["kernel"], np.float32)
+                bb1 = np.asarray(lp[rel]["Dense_0"]["bias"], np.float32)
+                k2 = np.asarray(lp[rel]["Dense_1"]["kernel"], np.float32)
+                bb2 = np.asarray(lp[rel]["Dense_1"]["bias"], np.float32)
+                W1[idx] = k1.T
+                W2[idx] = k2.T
+                b2[idx] = bb2
+                te_cat = np.zeros((K, h_in), np.float32)
+                te_cat[:, :h] = te_edge
+                te_cat[:, h : 2 * h] = te_agg
+                bias1[idx] = (te_cat @ k1 + bb1).T
+
+    return dict(
+        emb_w=emb_w, emb_b=emb_b, w_ch=w_ch, alpha=alpha,
+        W1v=W1v, W2v=W2v, W1c=W1c, W2c=W2c, b2v=b2v, b2c=b2c,
+        bias1v=bias1v, bias1c=bias1c, proj_w=proj_w, proj_b=proj_b, h_in=h_in,
+    )
+
+
+_BIG = 1e9
+
+
+def _corrected_kernel(llr_ref, w1v_ref, w2v_ref, w1c_ref, w2c_ref, b1v_ref,
+                      b1c_ref, b2v_ref, b2c_ref, emb_ref, proj_ref, soft_ref,
+                      v2c, c2v, edge_llr, feats, llr_feats, var_mean, row_mean,
+                      colsum, *, st, h: int, T: int, Bt: int, lanes: int,
+                      inject: bool, w_ch: float, alpha: float):
+    Z, K, C, R = st.Z, st.K, st.C, st.R
+    packed = Bt > 1
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+
+    def roll(x, s):
+        if packed:
+            s = (s % Z) * Bt
+            return x if s == 0 else pltpu.roll(x, s, 1)
+        return _roll_lanes(x, s, Z)
+
+    def fb(k):
+        return pl.ds(k * h, h)
+
+    emb_w = emb_ref[0:h, 0:1]
+    emb_b = emb_ref[h : 2 * h, 0:1]
+
+    def embed(row):  # (1, lanes) f32 -> (h, lanes) bf16
+        return (jnp.broadcast_to(row, (h, lanes)) * emb_w + emb_b).astype(bf16)
+
+    # ---- seed ------------------------------------------------------------
+    for k in range(K):
+        row = llr_ref[st.cols[k] : st.cols[k] + 1, :]
+        edge_llr[k : k + 1, :] = row
+        v2c[k : k + 1, :] = row
+        c2v[k : k + 1, :] = jnp.zeros((1, lanes), f32)
+        if inject:
+            llr_feats[fb(k), :] = embed(row)
+
+    inv_dc = [1.0 / max(len(st.col_members[c]), 1) for c in range(C)]
+    inv_dr = [1.0 / max(len(st.row_members[r]), 1) for r in range(R)]
+
+    def gnn_correction(idx, msgs, out_msgs):
+        """out_msgs[k] += proj(GNNLayer_idx(embed(msgs)))  for every edge."""
+        ih = pl.ds(idx * h, h)
+        h_in = 2 * h + (h if inject else 0)
+        for k in range(K):
+            feats[fb(k), :] = embed(msgs[k : k + 1, :])
+        for c in range(C):
+            acc = jnp.zeros((h, lanes), f32)
+            for k in st.col_members[c]:
+                acc = acc + feats[fb(k), :].astype(f32)
+            var_mean[fb(c), :] = (acc * inv_dc[c]).astype(bf16)
+        for r in range(R):
+            acc = jnp.zeros((h, lanes), f32)
+            for k in st.row_members[r]:
+                acc = acc + roll(feats[fb(k), :], -st.shifts[k]).astype(f32)
+            row_mean[fb(r), :] = (acc * inv_dr[r]).astype(bf16)
+        w1v = w1v_ref[ih, 0:h_in]
+        w2v = w2v_ref[ih, 0:h]
+        w1c = w1c_ref[ih, 0:h_in]
+        w2c = w2c_ref[ih, 0:h]
+        b2v = b2v_ref[ih, 0:1]
+        b2c = b2c_ref[ih, 0:1]
+        pw = proj_ref[ih, 0:1]  # (h, 1)
+        pb = proj_ref[pl.ds(2 * T * h + idx, 1), 0:1]  # (1, 1)
+        for k in range(K):
+            f_k = feats[fb(k), :]
+            agg_v = var_mean[fb(st.cols[k]), :]
+            agg_c = roll(row_mean[fb(st.rows[k]), :], st.shifts[k])
+            parts_v = [f_k, agg_v] + ([llr_feats[fb(k), :]] if inject else [])
+            parts_c = [f_k, agg_c] + ([llr_feats[fb(k), :]] if inject else [])
+            pre_v = jnp.dot(w1v, jnp.concatenate(parts_v, axis=0),
+                            preferred_element_type=f32) + b1v_ref[ih, k : k + 1]
+            out_v = jnp.dot(w2v, jnp.maximum(pre_v, 0.0).astype(bf16),
+                            preferred_element_type=f32) + b2v
+            pre_c = jnp.dot(w1c, jnp.concatenate(parts_c, axis=0),
+                            preferred_element_type=f32) + b1c_ref[ih, k : k + 1]
+            out_c = jnp.dot(w2c, jnp.maximum(pre_c, 0.0).astype(bf16),
+                            preferred_element_type=f32) + b2c
+            layer_out = (out_v.astype(bf16) + out_c.astype(bf16)).astype(f32)
+            corr = jnp.sum(layer_out * pw, axis=0, keepdims=True) + pb
+            out_msgs[k : k + 1, :] = out_msgs[k : k + 1, :] + corr
+
+    def iteration(t, _):
+        # ---- check half: scaled min-sum + GNN correction -------------------
+        for r in range(R):
+            members = st.row_members[r]
+            rolled = []
+            m1 = jnp.full((1, lanes), _BIG, f32)
+            m2 = jnp.full((1, lanes), _BIG, f32)
+            sp = jnp.ones((1, lanes), f32)
+            for k in members:
+                x = roll(v2c[k : k + 1, :], -st.shifts[k])
+                rolled.append(x)
+                sgn = jnp.where(x < 0, -1.0, 1.0)
+                mag = jnp.abs(x)
+                sp = sp * sgn
+                nm = jnp.minimum(mag, m1)
+                m2 = jnp.minimum(jnp.maximum(mag, m1), m2)
+                m1 = nm
+            for k, x in zip(members, rolled):
+                sgn = jnp.where(x < 0, -1.0, 1.0)
+                mag = jnp.abs(x)
+                loo = jnp.where(mag > m1, m1, m2)
+                loo = jnp.where(loo < _BIG, loo, 0.0)
+                c2v[k : k + 1, :] = roll(alpha * sp * sgn * loo, st.shifts[k])
+        gnn_correction(2 * t, v2c, c2v)  # correction sees the update's inputs
+
+        # ---- var half: leave-one-out sum + GNN correction ------------------
+        # (two passes: all colsums read the fresh c2v before v2c is touched;
+        # colsum scratch stays f32 so the classical skeleton is exact)
+        for c in range(C):
+            acc = jnp.zeros((1, lanes), f32)
+            for k in st.col_members[c]:
+                acc = acc + c2v[k : k + 1, :]
+            colsum[c : c + 1, :] = acc
+        for k in range(K):
+            loo = colsum[st.cols[k] : st.cols[k] + 1, :] - c2v[k : k + 1, :]
+            v2c[k : k + 1, :] = loo + w_ch * edge_llr[k : k + 1, :]
+        gnn_correction(2 * t + 1, c2v, v2c)
+        return 0
+
+    jax.lax.fori_loop(0, T, iteration, 0, unroll=False)
+
+    # ---- output: llr + colsum(final c2v) -> soft bits ----------------------
+    for c in range(C):
+        acc = jnp.zeros((1, lanes), f32)
+        for k in st.col_members[c]:
+            acc = acc + c2v[k : k + 1, :]
+        combined = llr_ref[c : c + 1, :] + acc
+        soft_ref[c : c + 1, :] = 1.0 / (1.0 + jnp.exp(combined))
+
+
+def make_fused_corrected_gnn_decoder(
+    qc: QCLayout,
+    params,
+    num_iterations: int = 5,
+    hidden_dim: int = 64,
+    share_layers: bool = False,
+    input_injection: bool = True,
+    interpret: bool = False,
+):
+    """Serving kernel for the flagship corrected decoder: min-sum half-updates
+    plus trained GNN corrections, fully VMEM-resident.
+
+    ``params`` from a ``MessageGNNDecoder(var_mode=check_mode="corrected",
+    depth_L=0, damping=1.0)`` (see ``create_corrected_minsum_gnn_decoder``).
+    Returns ``decode(llr) -> soft bits`` matching ``model.apply``.
+    """
+    st = _GNNStructure(qc)
+    Z, C, K, h = st.Z, st.C, st.K, hidden_dim
+    n = C * Z
+    T = num_iterations
+    if h % 8:
+        raise ValueError(f"hidden_dim must be a multiple of 8, got {h}")
+    if 128 % Z == 0:
+        Bt, lanes = 128 // Z, 128
+    elif Z % 8 == 0:
+        Bt, lanes = 1, -(-Z // 128) * 128
+    else:
+        raise ValueError(f"corrected GNN kernel requires Z % 8 == 0 or Z | 128, got Z={Z}")
+    need = gnn_vmem_bytes(qc, h, lanes, input_injection) + 3 * K * lanes * 4
+    if need > _VMEM_BUDGET:
+        raise ValueError(
+            f"corrected GNN state ({need / 2**20:.1f} MiB) exceeds the "
+            f"~{_VMEM_BUDGET / 2**20:.0f} MiB VMEM budget (Z={Z}, h={h})"
+        )
+
+    w = _extract_corrected(params, qc, T, h, share_layers, input_injection)
+    h_in = w["h_in"]
+    T2 = 2 * T
+    Kpad = -(-K // 128) * 128
+    hpad = -(-h_in // 128) * 128
+
+    def stack(x, pad_to):
+        T_, hh, d = x.shape
+        out = np.zeros((T_ * hh, pad_to), x.dtype)
+        out[:, :d] = x.reshape(T_ * hh, d)
+        return out
+
+    w1v = jnp.asarray(stack(w["W1v"], hpad), jnp.bfloat16)
+    w1c = jnp.asarray(stack(w["W1c"], hpad), jnp.bfloat16)
+    w2v = jnp.asarray(stack(w["W2v"], max(128, h)), jnp.bfloat16)
+    w2c = jnp.asarray(stack(w["W2c"], max(128, h)), jnp.bfloat16)
+    b1v = jnp.asarray(stack(w["bias1v"], Kpad), jnp.float32)
+    b1c = jnp.asarray(stack(w["bias1c"], Kpad), jnp.float32)
+    b2v = jnp.asarray(np.repeat(w["b2v"].reshape(T2 * h, 1), 128, 1), jnp.float32)
+    b2c = jnp.asarray(np.repeat(w["b2c"].reshape(T2 * h, 1), 128, 1), jnp.float32)
+    emb = np.zeros((2 * h, 128), np.float32)
+    emb[0:h, :] = w["emb_w"][:, None]
+    emb[h : 2 * h, :] = w["emb_b"][:, None]
+    emb = jnp.asarray(emb)
+    # proj stack: T2 weight columns then T2 bias rows
+    proj = np.zeros((T2 * h + T2, 128), np.float32)
+    proj[: T2 * h, :] = np.repeat(w["proj_w"].reshape(T2 * h, 1), 128, 1)
+    for i in range(T2):
+        proj[T2 * h + i, :] = w["proj_b"][i]
+    proj = jnp.asarray(proj)
+
+    kernel = functools.partial(
+        _corrected_kernel, st=st, h=h, T=T, Bt=Bt, lanes=lanes,
+        inject=input_injection, w_ch=w["w_ch"], alpha=w["alpha"],
+    )
+    vm = pltpu.VMEM
+    weights = (w1v, w2v, w1c, w2c, b1v, b1c, b2v, b2c, emb, proj)
+    wspecs = [
+        pl.BlockSpec(x.shape, lambda i: (0, 0), memory_space=vm) for x in weights
+    ]
+
+    @jax.jit
+    def decode(llr: Array) -> Array:
+        B = llr.shape[0]
+        if B % Bt:
+            pad = Bt - B % Bt
+            llr = jnp.concatenate([llr, jnp.zeros((pad, n), llr.dtype)], axis=0)
+        Bp = llr.shape[0]
+        nt = Bp // Bt
+        g = llr.reshape(nt, Bt, C, Z).transpose(0, 2, 3, 1).reshape(nt * C, Z * Bt)
+        if lanes != Z * Bt:
+            g = jnp.pad(g, ((0, 0), (0, lanes - Z * Bt)))
+        soft = pl.pallas_call(
+            kernel,
+            grid=(nt,),
+            in_specs=[pl.BlockSpec((C, lanes), lambda i: (i, 0), memory_space=vm)]
+            + wspecs,
+            out_specs=pl.BlockSpec((C, lanes), lambda i: (i, 0), memory_space=vm),
+            out_shape=jax.ShapeDtypeStruct((nt * C, lanes), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((K, lanes), jnp.float32),  # v2c
+                pltpu.VMEM((K, lanes), jnp.float32),  # c2v
+                pltpu.VMEM((K, lanes), jnp.float32),  # edge llr
+                pltpu.VMEM((K * h, lanes), jnp.bfloat16),  # layer feats
+                pltpu.VMEM((K * h if input_injection else 8, lanes), jnp.bfloat16),
+                pltpu.VMEM((C * h, lanes), jnp.bfloat16),  # var-relation means
+                pltpu.VMEM((st.R * h, lanes), jnp.bfloat16),  # check-relation means
+                pltpu.VMEM((C, lanes), jnp.float32),  # f32 colsum (exact min-sum)
+            ],
+            interpret=interpret,
+        )(g, *weights)
+        soft = (
+            soft[:, : Z * Bt].reshape(nt, C, Z, Bt).transpose(0, 3, 1, 2).reshape(Bp, n)
+        )
+        return soft[:B]
+
+    return decode
+
+
 def make_fused_gnn_decoder(
     qc: QCLayout,
     params,

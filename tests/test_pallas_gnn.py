@@ -74,6 +74,61 @@ def test_untrained_is_channel_passthrough():
     )
 
 
+class TestCorrectedServing:
+    """Serving kernel for the flagship corrected decoder."""
+
+    def _setup(self, name="toy_4x8", Z=4, iters=3, h=16, inject=True):
+        from ldpc_tpu.models.message_gnn import create_corrected_minsum_gnn_decoder
+
+        qc = qc_layout(get_base_graph(name), Z)
+        plan = qc_msg.make_plan(qc)
+        n = plan.C * plan.Z
+        model = create_corrected_minsum_gnn_decoder(
+            plan, num_iterations=iters, hidden_dim=h, input_injection=inject
+        )
+        llr = bpsk_awgn_llr(jax.random.PRNGKey(1), jnp.zeros((4, n)), 1.0)
+        return qc, plan, n, model, llr
+
+    def test_zero_init_is_exact_minsum(self):
+        """Untrained params: the kernel IS classical scaled min-sum (the
+        corrections are exactly zero), bit-for-bit vs the XLA decoder."""
+        from ldpc_tpu.models.classical import decode_min_sum
+        from ldpc_tpu.ops.pallas_gnn import make_fused_corrected_gnn_decoder
+
+        qc, plan, n, model, llr = self._setup(iters=4)
+        params = model.init(jax.random.PRNGKey(2), llr, plan)
+        fused = make_fused_corrected_gnn_decoder(
+            qc, params, num_iterations=4, hidden_dim=16, interpret=True
+        )
+        soft = fused(llr)
+        # manual fixed-iteration min-sum, alpha = the 0.8 init
+        llr_cz = qc_msg.llr_to_cz(llr, plan)
+        edge = llr_cz[plan.edge_col]
+        v2c = edge
+        for _ in range(4):
+            c2v = qc_msg.check_update_minsum(v2c, plan, alpha=0.8)
+            v2c = qc_msg.col_sum(c2v, plan)[plan.edge_col] - c2v + edge
+        expect = jax.nn.sigmoid(-qc_msg.cz_to_llr(llr_cz + qc_msg.col_sum(c2v, plan)))
+        np.testing.assert_allclose(np.asarray(soft), np.asarray(expect), atol=1e-5)
+
+    @pytest.mark.parametrize("inject", [False, True])
+    def test_matches_flax_module(self, inject):
+        from ldpc_tpu.ops.pallas_gnn import make_fused_corrected_gnn_decoder
+
+        qc, plan, n, model, llr = self._setup(inject=inject)
+        params = _trained_like_params(model, llr, plan, seed=9)
+        soft_ref, _ = model.apply(params, llr, plan)
+        fused = make_fused_corrected_gnn_decoder(
+            qc, params, num_iterations=3, hidden_dim=16,
+            input_injection=inject, interpret=True,
+        )
+        a, b = np.asarray(fused(llr)), np.asarray(soft_ref)
+        np.testing.assert_allclose(a, b, atol=3e-2)
+        confident = np.abs(b - 0.5) > 0.05
+        assert confident.mean() > 0.5
+        assert ((a > 0.5) == (b > 0.5))[confident].all()
+
+
 def test_batch_padding():
     qc = qc_layout(get_base_graph("toy_4x8"), 4)  # Bt = 32
     plan = qc_msg.make_plan(qc)
