@@ -62,6 +62,7 @@ def make_model(cfg: Config, plan):
     """Model factory (reference ``create_model`` main.py:62-82, extended to
     the full family)."""
     from ldpc_tpu.models import (
+        create_corrected_minsum_gnn_decoder,
         create_custom_check_message_gnn_decoder,
         create_custom_minsum_message_gnn_decoder,
         create_custom_variable_message_gnn_decoder,
@@ -93,6 +94,8 @@ def make_model(cfg: Config, plan):
         return create_custom_minsum_message_gnn_decoder(plan, depth=cfg.depth_L,
                                                         num_iterations=cfg.num_iterations,
                                                         hidden_dim=cfg.hidden_dim)
+    if mt == "message_gnn_corrected":
+        return create_corrected_minsum_gnn_decoder(plan, input_injection=True, **gnn_kw)
     raise SystemExit(f"unknown --model-type {mt!r}")
 
 

@@ -19,7 +19,8 @@ from typing import Any
 class Config:
     # model
     model_type: str = "standard"  # standard | tied | gnn | base_graph_gnn |
-    # message_gnn | message_gnn_var_minsum | message_gnn_check_minsum | message_gnn_minsum
+    # message_gnn | message_gnn_var_minsum | message_gnn_check_minsum |
+    # message_gnn_minsum | message_gnn_corrected
     num_iterations: int = 5
     depth_L: int = 2
     hidden_dim: int = 64
