@@ -5,7 +5,8 @@ its weights into the VMEM-resident decode kernel, and decodes at Gbit/s —
 the production serving path for learned decoders.
 
 Run:  PYTHONPATH=. python examples/serve_trained_decoder.py \
-          [--checkpoint results/standard_nr_2_0_4.msgpack]
+          [--checkpoint results/standard_nr_2_0_4.msgpack] \
+          [--model neural_minsum | corrected_gnn | message_gnn]
 """
 from __future__ import annotations
 
@@ -25,6 +26,10 @@ from ldpc_tpu.utils import compute_ber_fer, qpsk_awgn_llr
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", default="results/standard_nr_2_0_4.msgpack")
+    ap.add_argument("--model", default="neural_minsum",
+                    choices=["neural_minsum", "corrected_gnn", "message_gnn"])
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--hidden", type=int, default=64)
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--snr", type=float, default=0.0)
     args = ap.parse_args()
@@ -33,23 +38,54 @@ def main() -> None:
     plan = qc_msg.make_plan(qc)
     n = plan.C * plan.Z
 
-    model = NeuralMinSumDecoder(num_iterations=5, depth_L=2, weight_sharing="edge",
-                                learnable_alpha=True, loss_mode="mean")
+    if args.model == "neural_minsum":
+        model = NeuralMinSumDecoder(num_iterations=args.iters, depth_L=2,
+                                    weight_sharing="edge", learnable_alpha=True,
+                                    loss_mode="mean")
+    elif args.model == "corrected_gnn":
+        from ldpc_tpu.models.message_gnn import create_corrected_minsum_gnn_decoder
+
+        model = create_corrected_minsum_gnn_decoder(
+            plan, num_iterations=args.iters, hidden_dim=args.hidden,
+            input_injection=True)
+    else:
+        from ldpc_tpu.models.message_gnn import create_message_gnn_decoder
+
+        model = create_message_gnn_decoder(
+            plan, num_iterations=args.iters, hidden_dim=args.hidden,
+            input_injection=True)
     tr = LDPCDecoderTrainer(model, plan, seed=0)
     tr.load_model(args.checkpoint)
     print(f"loaded {args.checkpoint}")
 
     on_tpu = jax.default_backend() == "tpu"
-    if on_tpu:
+    if not on_tpu:
+        decode = lambda llr: model.decode(tr.params, llr, plan)
+        path = "XLA path (no TPU)"
+    elif args.model == "neural_minsum":
         from ldpc_tpu.ops.pallas_minsum import fused_kernel_fits
         from ldpc_tpu.ops.pallas_neural import make_fused_neural_minsum
 
         assert fused_kernel_fits(qc)
-        decode = make_fused_neural_minsum(qc, tr.params, num_iterations=5, depth_L=2)
+        decode = make_fused_neural_minsum(qc, tr.params, num_iterations=args.iters,
+                                          depth_L=2)
         path = "fused Pallas kernel"
+    elif args.model == "corrected_gnn":
+        from ldpc_tpu.ops.pallas_gnn import make_fused_corrected_gnn_decoder
+
+        soft_fn = make_fused_corrected_gnn_decoder(
+            qc, tr.params, num_iterations=args.iters, hidden_dim=args.hidden,
+            input_injection=True)
+        decode = lambda llr: (soft_fn(llr) > 0.5).astype(jnp.float32)
+        path = "fused corrected-GNN kernel"
     else:
-        decode = lambda llr: model.decode(tr.params, llr, plan)
-        path = "XLA path (no TPU)"
+        from ldpc_tpu.ops.pallas_gnn import make_fused_gnn_decoder
+
+        soft_fn = make_fused_gnn_decoder(
+            qc, tr.params, num_iterations=args.iters, hidden_dim=args.hidden,
+            input_injection=True)
+        decode = lambda llr: (soft_fn(llr) > 0.5).astype(jnp.float32)
+        path = "fused message-GNN kernel"
 
     bits = jnp.zeros((args.batch, n))
     llr = qpsk_awgn_llr(jax.random.PRNGKey(0), bits, args.snr)
