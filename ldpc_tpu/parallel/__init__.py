@@ -10,5 +10,6 @@ from ldpc_tpu.parallel.sharding import (  # noqa: F401
     make_mc_trial,
     make_sharded_train_step,
     mc_sweep,
+    shard_decode,
     tp_param_sharding,
 )

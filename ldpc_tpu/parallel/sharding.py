@@ -125,6 +125,27 @@ class _null_ctx:
         return False
 
 
+def shard_decode(decode_fn: Callable, mesh: Mesh, axis: str = "data") -> Callable:
+    """SPMD-wrap a per-chip decode callable over the mesh's batch axis.
+
+    The fused Pallas kernels (:mod:`ldpc_tpu.ops.pallas_minsum`,
+    :mod:`ldpc_tpu.ops.pallas_gnn`, :mod:`ldpc_tpu.ops.pallas_neural`) are
+    custom calls the XLA partitioner cannot split, so unlike the XLA decode
+    path they cannot be auto-sharded via ``with_sharding_constraint`` —
+    they must run *inside* ``shard_map``, each chip decoding its local
+    batch shard.  Decode is embarrassingly parallel over frames (QC message
+    passing never crosses frames), so no collectives are inserted.
+
+    ``decode_fn``: (B_local, n) -> pytree of batch-leading arrays.  The
+    global batch must divide by the axis size.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    f = shard_map(decode_fn, mesh=mesh, in_specs=P(axis), out_specs=P(axis),
+                  check_rep=False)
+    return jax.jit(f)
+
+
 # ---------------------------------------------------------------------------
 # Sharded training step (data parallel + optional tensor parallel)
 # ---------------------------------------------------------------------------

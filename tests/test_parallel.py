@@ -94,3 +94,42 @@ class TestShardedTraining:
             _, _, l1 = step_sharded(params, opt, jax.random.PRNGKey(5), jnp.float32(2.0))
         _, _, l2 = step_single(params, opt, jax.random.PRNGKey(5), jnp.float32(2.0))
         np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+
+
+class TestShardDecode:
+    """Fused Pallas kernels under shard_map: the N-chip serving path."""
+
+    def test_fused_minsum_sharded_equals_single(self, plan):
+        from ldpc_tpu.codes import get_base_graph, qc_layout
+        from ldpc_tpu.ops.pallas_minsum import make_fused_minsum
+        from ldpc_tpu.parallel import make_mesh, shard_decode
+        from ldpc_tpu.utils import bpsk_awgn_llr
+
+        qc = qc_layout(get_base_graph("toy_4x8"), 4)
+        n = qc.num_base_cols * 4
+        fused = make_fused_minsum(qc, max_iterations=5, batch_tile=8, interpret=True)
+        llr = bpsk_awgn_llr(jax.random.PRNGKey(0), jnp.zeros((64, n)), 2.0)
+        bits1, conv1 = fused(llr)
+        mesh = make_mesh(data=8)
+        sharded = shard_decode(fused, mesh)
+        bits8, conv8 = sharded(llr)
+        np.testing.assert_array_equal(np.asarray(bits8), np.asarray(bits1))
+        np.testing.assert_array_equal(np.asarray(conv8), np.asarray(conv1))
+
+    def test_fused_gnn_sharded_equals_single(self, plan):
+        from ldpc_tpu.codes import get_base_graph, qc_layout
+        from ldpc_tpu.ops.pallas_gnn import make_fused_gnn_decoder
+        from ldpc_tpu.parallel import make_mesh, shard_decode
+        from ldpc_tpu.utils import bpsk_awgn_llr
+
+        qc = qc_layout(get_base_graph("toy_4x8"), 4)
+        plan4 = qc_msg.make_plan(qc)
+        n = plan4.C * plan4.Z
+        model = create_message_gnn_decoder(plan4, num_iterations=2, hidden_dim=8)
+        llr = bpsk_awgn_llr(jax.random.PRNGKey(1), jnp.zeros((8 * 32, n)), 3.0)
+        params = model.init(jax.random.PRNGKey(2), llr, plan4)
+        fused = make_fused_gnn_decoder(qc, params, num_iterations=2, hidden_dim=8,
+                                       interpret=True)
+        soft1 = fused(llr)
+        sharded = shard_decode(fused, make_mesh(data=8))
+        np.testing.assert_array_equal(np.asarray(sharded(llr)), np.asarray(soft1))
