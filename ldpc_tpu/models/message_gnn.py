@@ -140,6 +140,9 @@ class MessageGNNDecoder(nn.Module):
     loss_mode: Literal["mean", "max"] = "mean"
     compute_dtype: jnp.dtype = jnp.bfloat16
     input_injection: bool = False  # feed LLR features to every layer
+    multiloss: bool = False  # BCE at every iteration's marginals (Nachmani
+    # et al., arXiv:1607.04793 §IV): deep-unrolled training aid; decode
+    # output (final-iteration marginals) is unchanged
 
     @nn.compact
     def __call__(self, llr: Array, plan: QCPlan, ground_truth: Array | None = None):
@@ -150,6 +153,8 @@ class MessageGNNDecoder(nn.Module):
 
         fully_neural = self.var_mode == "neural" and self.check_mode == "neural"
         input_embed = nn.Dense(self.hidden_dim, name="input_embedding")
+        collect = self.multiloss and ground_truth is not None
+        per_iter_msgs: list = []  # per-iteration message LLRs (multiloss)
 
         if fully_neural:
             feats = input_embed(edge_llr[..., None]).astype(self.compute_dtype)  # (K, Z, B, h)
@@ -164,34 +169,50 @@ class MessageGNNDecoder(nn.Module):
                                     self.compute_dtype, name=f"gnn_layer_{i}")
                     for i in range(self.num_iterations)
                 ]
-            for i, layer in enumerate(layers):
-                new = layer(feats, plan, llr_feats)
-                if i > 0:  # residual skip from iteration 2 on (reference :261-262)
-                    new = new + feats
-                feats = new
             # Zero-init projection: the untrained decoder outputs exactly the
             # channel LLRs (a pass-through), so training starts from raw-
             # channel BER and learns message-passing corrections on top,
             # instead of fighting large random logits (initial mean-BCE ~17
             # with the reference's init; ~0.4 with this one).
-            msg_llr = nn.Dense(1, kernel_init=nn.initializers.zeros,
-                               name="output_projection")(feats.astype(jnp.float32))[..., 0]
+            proj = nn.Dense(1, kernel_init=nn.initializers.zeros,
+                            name="output_projection")
+            for i, layer in enumerate(layers):
+                new = layer(feats, plan, llr_feats)
+                if i > 0:  # residual skip from iteration 2 on (reference :261-262)
+                    new = new + feats
+                feats = new
+                if collect and i < self.num_iterations - 1:
+                    per_iter_msgs.append(proj(feats.astype(jnp.float32))[..., 0])
+            msg_llr = proj(feats.astype(jnp.float32))[..., 0]
         else:
-            msg_llr = self._hybrid_loop(edge_llr, llr_cz, plan, input_embed, B)
+            msg_llr = self._hybrid_loop(edge_llr, llr_cz, plan, input_embed, B,
+                                        per_iter_msgs if collect else None)
 
         # Sum-aggregate decoded message LLRs per variable + channel LLR
         # (reference :273-301 "SUM aggregation").
-        combined = llr_cz + qc_msg.col_sum(msg_llr, plan)
-        logits = -qc_msg.cz_to_llr(combined)  # bit-1 logits
+        def to_logits(msgs):
+            return -qc_msg.cz_to_llr(llr_cz + qc_msg.col_sum(msgs, plan))
+
+        logits = to_logits(msg_llr)  # bit-1 logits
         soft_bits = jax.nn.sigmoid(logits)
 
         loss = None
         if ground_truth is not None:
-            bce = jax.nn.softplus((1.0 - 2.0 * ground_truth) * logits)
-            loss = bce.mean(axis=-1) if self.loss_mode == "mean" else bce.max(axis=-1)
+            sign = 1.0 - 2.0 * ground_truth
+
+            def frame_loss(lg):
+                bce = jax.nn.softplus(sign * lg)
+                return bce.mean(axis=-1) if self.loss_mode == "mean" else bce.max(axis=-1)
+
+            loss = frame_loss(logits)
+            if collect:
+                for m in per_iter_msgs:
+                    loss = loss + frame_loss(to_logits(m))
+                loss = loss / (len(per_iter_msgs) + 1)
         return soft_bits, loss
 
-    def _hybrid_loop(self, edge_llr, llr_cz, plan, input_embed, B):
+    def _hybrid_loop(self, edge_llr, llr_cz, plan, input_embed, B,
+                     per_iter_msgs: list | None = None):
         """LLR-domain loop with neural or classical half-updates."""
         w_ch = self.param("w_ch", nn.initializers.ones, ())
         w_res = self.param("w_res", nn.initializers.ones, (self.depth_L,))
@@ -232,6 +253,8 @@ class MessageGNNDecoder(nn.Module):
                     layer, proj = shared_check if self.share_layers else sub("check", i)
                     feats = input_embed(pre[..., None])
                     c2v = c2v + proj(layer(feats, plan, llr_feats).astype(jnp.float32))[..., 0]
+            if per_iter_msgs is not None and i < self.num_iterations - 1:
+                per_iter_msgs.append(c2v)  # this iteration's marginal messages
             # ---- variable half ----
             if self.var_mode == "neural":
                 layer, proj = shared_var if self.share_layers else sub("var", i)

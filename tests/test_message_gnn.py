@@ -218,3 +218,32 @@ class TestTraining:
         bits = model.decode(params, llr, plan)
         raw_errors = float((llr < 0).sum())
         assert float(bits.sum()) <= raw_errors
+
+
+class TestMultiloss:
+    def test_output_unchanged_loss_differs(self, setup):
+        """Multiloss only changes the training signal, not decode output."""
+        _, _, _, H, plan = setup
+        n = H.shape[1]
+        llr = ch.bpsk_awgn_llr(jax.random.PRNGKey(20), jnp.zeros((4, n)), 1.0)
+        gt = jnp.zeros((4, n))
+        kw = dict(num_iterations=3, hidden_dim=8, input_injection=True)
+        base = create_corrected_minsum_gnn_decoder(plan, **kw)
+        multi = create_corrected_minsum_gnn_decoder(plan, multiloss=True, **kw)
+        params = base.init(jax.random.PRNGKey(21), llr, plan)
+        s1, l1 = base.apply(params, llr, plan, gt)
+        s2, l2 = multi.apply(params, llr, plan, gt)
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+        assert not np.allclose(np.asarray(l1), np.asarray(l2))
+
+    @pytest.mark.parametrize("factory", [create_message_gnn_decoder,
+                                         create_corrected_minsum_gnn_decoder])
+    def test_multiloss_trains(self, setup, factory):
+        _, _, _, H, plan = setup
+        model = factory(plan, num_iterations=3, hidden_dim=8, multiloss=True)
+        tr = LDPCDecoderTrainer(model, plan, seed=5)
+        tr.train(num_epochs=12, batch_size=32, learning_rate=3e-3,
+                 snr_range=[2.0], validation_interval=100, optimizer="adam",
+                 weight_decay=0.0)
+        assert all(np.isfinite(tr.train_losses))
+        assert np.mean(tr.train_losses[-3:]) < np.mean(tr.train_losses[:3]) * 1.05
