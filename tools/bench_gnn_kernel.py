@@ -1,0 +1,105 @@
+"""Benchmark the fused message-GNN kernels vs the XLA module path on TPU.
+
+Validates compiled-kernel parity with the Flax module on the trained
+checkpoints, then measures steady-state decoded bits/s for:
+  - fully-neural message GNN: XLA vs make_fused_gnn_decoder
+  - corrected GNN (flagship): XLA vs make_fused_corrected_gnn_decoder
+
+Run:  PYTHONPATH=. python tools/bench_gnn_kernel.py [--batch 2048]
+"""
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bench(fn, llrs, sync=lambda o: float(np.asarray(o).sum())):
+    """Best-of-3 steady-state seconds per call (tunnel-safe: fresh inputs,
+    value-fetch sync, warmup run discarded)."""
+    sync(fn(llrs[0]))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        outs = [fn(l) for l in llrs[1:]]
+        sync(outs[-1])
+        best = min(best, (time.time() - t0) / (len(llrs) - 1))
+    return best
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--hidden", type=int, default=64)
+    ap.add_argument("--gnn-checkpoint", default="results/message_gnn_nr_2_0_4.msgpack")
+    ap.add_argument("--corrected-checkpoint",
+                    default="results/corrected_gnn_nr_2_0_4.msgpack")
+    args = ap.parse_args()
+
+    from ldpc_tpu.codes import get_base_graph, qc_layout
+    from ldpc_tpu.models.message_gnn import (
+        create_corrected_minsum_gnn_decoder,
+        create_message_gnn_decoder,
+    )
+    from ldpc_tpu.ops import qc_msg
+    from ldpc_tpu.ops.pallas_gnn import (
+        make_fused_corrected_gnn_decoder,
+        make_fused_gnn_decoder,
+    )
+    from ldpc_tpu.training import LDPCDecoderTrainer
+    from ldpc_tpu.utils import bpsk_awgn_llr
+
+    qc = qc_layout(get_base_graph("nr_2_0_4"), 4)
+    plan = qc_msg.make_plan(qc)
+    n = plan.C * plan.Z
+    B = args.batch
+    print(f"backend={jax.default_backend()} n={n} batch={B}")
+    llrs = [bpsk_awgn_llr(jax.random.PRNGKey(50 + i), jnp.zeros((B, n)), 1.0)
+            for i in range(6)]
+    for l in llrs:
+        l.block_until_ready()
+
+    cases = []
+    if Path(args.gnn_checkpoint).exists():
+        cases.append(("message_gnn", args.gnn_checkpoint,
+                      create_message_gnn_decoder, make_fused_gnn_decoder))
+    if Path(args.corrected_checkpoint).exists():
+        cases.append(("corrected_gnn", args.corrected_checkpoint,
+                      create_corrected_minsum_gnn_decoder,
+                      make_fused_corrected_gnn_decoder))
+
+    for name, ckpt, factory, fuse in cases:
+        model = factory(plan, num_iterations=args.iters, hidden_dim=args.hidden,
+                        input_injection=True)
+        tr = LDPCDecoderTrainer(model, plan, seed=0)
+        tr.load_model(ckpt)
+
+        @jax.jit
+        def xla_soft(llr, params=tr.params, model=model):
+            soft, _ = model.apply(params, llr, plan)
+            return soft
+
+        fused = fuse(qc, tr.params, num_iterations=args.iters,
+                     hidden_dim=args.hidden, input_injection=True)
+
+        a = np.asarray(fused(llrs[0]))
+        b = np.asarray(xla_soft(llrs[0]))
+        conf = np.abs(b - 0.5) > 0.05
+        agree = ((a > 0.5) == (b > 0.5))[conf].mean() if conf.any() else 1.0
+        print(f"{name}: |diff| max {np.abs(a - b).max():.4f}, "
+              f"confident-decision agreement {agree:.6f}")
+
+        dt_x = bench(xla_soft, llrs)
+        dt_f = bench(fused, llrs)
+        print(f"{name}: XLA {B * n / dt_x / 1e6:.1f} Mbit/s   "
+              f"fused {B * n / dt_f / 1e6:.1f} Mbit/s   "
+              f"speedup {dt_x / dt_f:.1f}x")
+
+
+if __name__ == "__main__":
+    main()
