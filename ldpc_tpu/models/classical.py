@@ -82,18 +82,78 @@ def _decode_scan(llr, plan: QCPlan, max_iterations: int, check_update):
     )
 
 
-@partial(jax.jit, static_argnames=("max_iterations",))
-def decode_min_sum(llr: Array, plan: QCPlan, max_iterations: int = 50, scaling_factor=0.75) -> DecodeResult:
-    """Scaled min-sum decode of (B, n) channel LLRs."""
-    return _decode_scan(
-        llr, plan, max_iterations, partial(qc_msg.check_update_minsum, alpha=scaling_factor)
+def _decode_while(llr, plan: QCPlan, max_iterations: int, check_update):
+    """Early-exit decode loop: a ``lax.while_loop`` that stops as soon as
+    every frame in the batch has a valid syndrome (batch-global early exit —
+    fixed shapes, no dynamic trimming; the TPU-idiomatic form of the
+    reference's Python ``break`` at `traditional_decoders.py:104-108`).
+
+    ``bits`` / ``conv_iter`` / ``converged`` are bit-exact vs
+    :func:`_decode_scan`; ``beliefs`` are as-of-exit (they only differ for
+    frames that already converged, whose decisions are frozen anyway).
+    """
+    B = llr.shape[0]
+    llr_cz = qc_msg.llr_to_cz(llr, plan)
+
+    def cond(state):
+        t, carry, _ = state
+        return (t < max_iterations) & jnp.any(carry.conv_iter == 0)
+
+    def body(state):
+        t, carry, _ = state
+        v2c, _ = qc_msg.var_update(carry.c2v, llr_cz, plan)
+        c2v = check_update(v2c, plan)
+        beliefs = llr_cz + qc_msg.col_sum(c2v, plan)
+        bits = (beliefs < 0).astype(jnp.float32)
+        ok = qc_msg.syndrome_ok(bits, plan)
+        newly = ok & (carry.conv_iter == 0)
+        frozen = jnp.where(newly[None, None, :], bits, carry.frozen_bits)
+        conv = jnp.where(newly, t + 1, carry.conv_iter)
+        return t + 1, _Carry(c2v, frozen, conv), beliefs
+
+    init_carry = _Carry(
+        c2v=jnp.zeros((plan.K, plan.Z, B), jnp.float32),
+        frozen_bits=jnp.zeros((plan.C, plan.Z, B), jnp.float32),
+        conv_iter=jnp.zeros((B,), jnp.int32),
+    )
+    _, carry, beliefs = jax.lax.while_loop(cond, body, (0, init_carry, llr_cz))
+    final_bits = (beliefs < 0).astype(jnp.float32)
+    converged = carry.conv_iter > 0
+    bits = jnp.where(converged[None, None, :], carry.frozen_bits, final_bits)
+    conv_iter = jnp.where(converged, carry.conv_iter, max_iterations)
+    return DecodeResult(
+        bits=qc_msg.cz_to_llr(bits),
+        beliefs=qc_msg.cz_to_llr(beliefs),
+        conv_iter=conv_iter,
+        converged=converged,
     )
 
 
-@partial(jax.jit, static_argnames=("max_iterations",))
-def decode_bp(llr: Array, plan: QCPlan, max_iterations: int = 50) -> DecodeResult:
-    """Sum-product belief-propagation decode of (B, n) channel LLRs."""
-    return _decode_scan(llr, plan, max_iterations, qc_msg.check_update_sumproduct)
+@partial(jax.jit, static_argnames=("max_iterations", "early_exit"))
+def decode_min_sum(llr: Array, plan: QCPlan, max_iterations: int = 50, scaling_factor=0.75,
+                   early_exit: bool = False) -> DecodeResult:
+    """Scaled min-sum decode of (B, n) channel LLRs.
+
+    ``early_exit=True`` swaps the fixed-trip scan for a batch-global
+    ``while_loop`` — identical decisions and iteration statistics, but the
+    device stops as soon as the whole batch is valid (the common case at
+    high SNR, where most Monte-Carlo wall-clock would otherwise be wasted
+    iterations). Not differentiable; keep the default for training paths.
+    """
+    upd = partial(qc_msg.check_update_minsum, alpha=scaling_factor)
+    loop = _decode_while if early_exit else _decode_scan
+    return loop(llr, plan, max_iterations, upd)
+
+
+@partial(jax.jit, static_argnames=("max_iterations", "early_exit"))
+def decode_bp(llr: Array, plan: QCPlan, max_iterations: int = 50,
+              early_exit: bool = False) -> DecodeResult:
+    """Sum-product belief-propagation decode of (B, n) channel LLRs.
+
+    ``early_exit`` as in :func:`decode_min_sum`.
+    """
+    loop = _decode_while if early_exit else _decode_scan
+    return loop(llr, plan, max_iterations, qc_msg.check_update_sumproduct)
 
 
 def _resolve_backend(backend: str, qc: QCLayout | None = None) -> str:

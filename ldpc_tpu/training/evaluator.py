@@ -71,9 +71,16 @@ class ComparativeEvaluator:
         }
 
     def add_belief_propagation(self, max_iterations: int = 50, name: str = "Belief Propagation",
-                               qc=None, fused: bool = False):
+                               qc=None, fused: bool = False, early_exit: bool = True):
         """``fused=True`` (requires ``qc=`` the QCLayout) evaluates through
-        the VMEM-resident Pallas kernel instead of the XLA scan."""
+        the VMEM-resident Pallas kernel instead of the XLA scan.
+
+        On the XLA path ``early_exit=True`` (default) decodes with the
+        batch-global while-loop — identical decisions/statistics, but
+        high-SNR sweep points stop iterating once the whole batch is valid.
+        Sharded sweeps (``mesh``) keep the fixed-trip scan: under pjit an
+        early exit would sync all chips to the slowest shard anyway.
+        """
         plan = self.plan
         if fused:
             from ldpc_tpu.models.classical import _make_fused, _resolve_backend
@@ -83,17 +90,19 @@ class ComparativeEvaluator:
             if kernel is not None:  # else: fall through to the XLA path
                 self.add_decoder(name, lambda llr: kernel(llr)[0], lambda llr: kernel(llr)[1])
                 return
+        ee = early_exit and self.mesh is None
 
         def decode(llr):
-            return decode_bp(llr, plan, max_iterations).bits
+            return decode_bp(llr, plan, max_iterations, early_exit=ee).bits
 
         def iters(llr):
-            return decode_bp(llr, plan, max_iterations).conv_iter
+            return decode_bp(llr, plan, max_iterations, early_exit=ee).conv_iter
 
         self.add_decoder(name, decode, iters)
 
     def add_min_sum(self, max_iterations: int = 50, scaling_factor: float = 0.75,
-                    name: str = "Min-Sum Scaled", qc=None, fused: bool = False):
+                    name: str = "Min-Sum Scaled", qc=None, fused: bool = False,
+                    early_exit: bool = True):
         plan = self.plan
         if fused:
             from ldpc_tpu.models.classical import _make_fused, _resolve_backend
@@ -103,12 +112,13 @@ class ComparativeEvaluator:
             if kernel is not None:  # else: fall through to the XLA path
                 self.add_decoder(name, lambda llr: kernel(llr)[0], lambda llr: kernel(llr)[1])
                 return
+        ee = early_exit and self.mesh is None
 
         def decode(llr):
-            return decode_min_sum(llr, plan, max_iterations, scaling_factor).bits
+            return decode_min_sum(llr, plan, max_iterations, scaling_factor, early_exit=ee).bits
 
         def iters(llr):
-            return decode_min_sum(llr, plan, max_iterations, scaling_factor).conv_iter
+            return decode_min_sum(llr, plan, max_iterations, scaling_factor, early_exit=ee).conv_iter
 
         self.add_decoder(name, decode, iters)
 

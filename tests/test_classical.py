@@ -116,3 +116,31 @@ class TestObjectAPI:
             out_bits, iters = dec.decode(llr)
             assert out_bits.shape == (8, n)
             assert 1 <= iters <= 20
+
+
+class TestEarlyExit:
+    """The while-loop early-exit path must match the fixed-trip scan."""
+
+    @pytest.mark.parametrize("decode", [decode_min_sum, decode_bp])
+    def test_decisions_and_stats_match_scan(self, toy, decode, rng):
+        _, _, _, H, plan = toy
+        n = H.shape[1]
+        # Mixed-SNR batch: some frames converge instantly, some never do.
+        bits = jnp.zeros((32, n))
+        llr_hi = ch.bpsk_awgn_llr(jax.random.PRNGKey(0), bits[:16], 6.0)
+        llr_lo = ch.bpsk_awgn_llr(jax.random.PRNGKey(1), bits[16:], -4.0)
+        llr = jnp.concatenate([llr_hi, llr_lo])
+        a = decode(llr, plan, 12)
+        b = decode(llr, plan, 12, early_exit=True)
+        np.testing.assert_array_equal(np.asarray(a.bits), np.asarray(b.bits))
+        np.testing.assert_array_equal(np.asarray(a.conv_iter), np.asarray(b.conv_iter))
+        np.testing.assert_array_equal(np.asarray(a.converged), np.asarray(b.converged))
+
+    def test_all_converged_beliefs_frozen_decisions(self, toy):
+        _, _, _, H, plan = toy
+        bits = jnp.zeros((8, H.shape[1]))
+        llr = ch.bpsk_awgn_llr(jax.random.PRNGKey(2), bits, 8.0)
+        res = decode_min_sum(llr, plan, 50, early_exit=True)
+        assert bool(res.converged.all())
+        assert int(res.conv_iter.max()) <= 3
+        np.testing.assert_array_equal(np.asarray(res.bits), 0.0)

@@ -72,7 +72,11 @@ def main() -> None:
     from ldpc_tpu.ops import qc_msg
     from ldpc_tpu.training import LDPCDecoderTrainer
 
-    tag = args.tag or f"{args.model}_{args.code}"
+    # Default tags match the committed artifact names in results/ so a bare
+    # re-invocation resumes the existing run instead of silently starting a
+    # fresh one under a new stem.
+    stems = {"corrected": "corrected_gnn", "gnn": "message_gnn"}
+    tag = args.tag or f"{stems.get(args.model, args.model)}_{args.code}"
     out_dir = Path(args.out_dir)
     state_path = out_dir / f"{tag}_state.msgpack"
     model_path = out_dir / f"{tag}.msgpack"
