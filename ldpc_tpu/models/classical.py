@@ -156,6 +156,108 @@ def decode_bp(llr: Array, plan: QCPlan, max_iterations: int = 50,
     return loop(llr, plan, max_iterations, qc_msg.check_update_sumproduct)
 
 
+def make_layered_minsum(qc: QCLayout, max_iterations: int = 20, alpha: float = 0.75,
+                        early_exit: bool = False):
+    """Layered (base-row-sequential) scaled min-sum — XLA path.
+
+    Standard serial-C scheduling on the QC structure: base rows are
+    processed in order, each layer forming v2c from the *current* beliefs
+    and folding its new c2v back into them immediately
+    (``beliefs[col] += new - old``). The Z lifted rows of one base row are
+    variable-disjoint (circulant blocks are permutation matrices), so
+    updating them in parallel is exactly row-sequential processing. Layered
+    scheduling propagates information twice as fast as flooding per
+    iteration — roughly half the iterations for the same BER — at identical
+    per-iteration cost.
+
+    Returns ``decode(llr) -> DecodeResult`` (jitted). Not a reference
+    capability (the reference floods, `traditional_decoders.py:195-260`);
+    this is a deliberate TPU-era extension — the fused kernels accept
+    ``schedule="layered"`` for the VMEM-resident form.
+    """
+    from ldpc_tpu.ops.pallas_minsum import _structure
+
+    st = _structure(qc)
+    plan = qc_msg.make_plan(qc)
+    Z, C, R = st.Z, st.C, st.R
+
+    def sweep(c2v, beliefs):
+        # One full pass over all R layers. c2v: (K, Z, B), beliefs: (C, Z, B).
+        for r in range(R):
+            ms = st.row_members[r]
+            xs = [
+                jnp.roll(beliefs[st.cols[k]] - c2v[k], -st.shifts[k], axis=0)
+                for k in ms
+            ]
+            X = jnp.stack(xs)  # (d, Z, B) check-aligned v2c
+            sgn = jnp.where(X < 0, -1.0, 1.0)
+            mag = jnp.abs(X)
+            sp = jnp.prod(sgn, axis=0)
+            m1 = jnp.min(mag, axis=0)
+            first_min = (jnp.cumsum((mag == m1).astype(jnp.int32), axis=0)
+                         * (mag == m1)) == 1
+            m2 = jnp.min(jnp.where(first_min, jnp.inf, mag), axis=0)
+            loo = jnp.where(first_min, m2[None], m1[None])
+            loo = jnp.where(jnp.isfinite(loo), loo, 0.0)
+            out = alpha * sp[None] * sgn * loo  # (d, Z, B)
+            for i, k in enumerate(ms):
+                new = jnp.roll(out[i], st.shifts[k], axis=0)
+                beliefs = beliefs.at[st.cols[k]].add(new - c2v[k])
+                c2v = c2v.at[k].set(new)
+        return c2v, beliefs
+
+    @jax.jit
+    def decode(llr: Array) -> DecodeResult:
+        B = llr.shape[0]
+        llr_cz = qc_msg.llr_to_cz(llr, plan)
+
+        def body(carry, t):
+            c2v, beliefs, frozen, conv = carry
+            c2v, beliefs = sweep(c2v, beliefs)
+            bits = (beliefs < 0).astype(jnp.float32)
+            ok = qc_msg.syndrome_ok(bits, plan)
+            newly = ok & (conv == 0)
+            frozen = jnp.where(newly[None, None, :], bits, frozen)
+            conv = jnp.where(newly, t + 1, conv)
+            return (c2v, beliefs, frozen, conv), None
+
+        init = (
+            jnp.zeros((st.K, Z, B), jnp.float32),
+            llr_cz,
+            jnp.zeros((C, Z, B), jnp.float32),
+            jnp.zeros((B,), jnp.int32),
+        )
+        if early_exit:
+            def cond(state):
+                t, carry = state
+                return (t < max_iterations) & jnp.any(carry[3] == 0)
+
+            def wbody(state):
+                t, carry = state
+                carry, _ = body(carry, t)
+                return t + 1, carry
+
+            _, (c2v, beliefs, frozen, conv) = jax.lax.while_loop(
+                cond, wbody, (0, init)
+            )
+        else:
+            (c2v, beliefs, frozen, conv), _ = jax.lax.scan(
+                body, init, jnp.arange(max_iterations)
+            )
+        final_bits = (beliefs < 0).astype(jnp.float32)
+        converged = conv > 0
+        bits = jnp.where(converged[None, None, :], frozen, final_bits)
+        conv_iter = jnp.where(converged, conv, max_iterations)
+        return DecodeResult(
+            bits=qc_msg.cz_to_llr(bits),
+            beliefs=qc_msg.cz_to_llr(beliefs),
+            conv_iter=conv_iter,
+            converged=converged,
+        )
+
+    return decode
+
+
 def _resolve_backend(backend: str, qc: QCLayout | None = None) -> str:
     if backend == "auto":
         if jax.default_backend() != "tpu":
@@ -175,13 +277,16 @@ def _resolve_backend(backend: str, qc: QCLayout | None = None) -> str:
 
 
 def _make_fused(backend: str, qc: QCLayout, max_iterations: int, *,
-                mode: str = "minsum", alpha: float = 0.75):
+                mode: str = "minsum", alpha: float = 0.75, early_exit: bool = False,
+                schedule: str = "flooding"):
     from ldpc_tpu.ops import pallas_minsum as pm
 
     if backend == "fused":
-        return pm.make_fused_minsum(qc, max_iterations, alpha, mode=mode)
+        return pm.make_fused_minsum(qc, max_iterations, alpha, mode=mode,
+                                    early_exit=early_exit, schedule=schedule)
     if backend == "fused_zlane":
-        return pm.make_fused_minsum_zlane(qc, max_iterations, alpha, mode=mode)
+        return pm.make_fused_minsum_zlane(qc, max_iterations, alpha, mode=mode,
+                                          early_exit=early_exit, schedule=schedule)
     return None
 
 
@@ -208,7 +313,8 @@ class BeliefPropagationDecoder:
         resolved = _resolve_backend(self.backend, self.qc)
         object.__setattr__(
             self, "_fused",
-            _make_fused(resolved, self.qc, self.max_iterations, mode="sumproduct", alpha=1.0),
+            _make_fused(resolved, self.qc, self.max_iterations, mode="sumproduct",
+                        alpha=1.0, early_exit=self.early_stopping),
         )
 
     def decode_full(self, llr: Array) -> DecodeResult:
@@ -219,7 +325,8 @@ class BeliefPropagationDecoder:
             bits, conv = self._fused(llr)
             iters = int(conv.max()) if self.early_stopping else self.max_iterations
             return bits, iters
-        res = self.decode_full(llr)
+        res = decode_bp(llr, self._plan, self.max_iterations,
+                        early_exit=self.early_stopping)
         iters = int(res.conv_iter.max()) if self.early_stopping else self.max_iterations
         return res.bits, iters
 
@@ -235,16 +342,30 @@ class MinSumScaledDecoder:
     scaling_factor: float = 0.75
     early_stopping: bool = True
     backend: str = "auto"
+    schedule: str = "flooding"  # or "layered" (serial-C; ~2x faster convergence)
 
     def __post_init__(self):
         object.__setattr__(self, "_plan", qc_msg.make_plan(self.qc))
         resolved = _resolve_backend(self.backend, self.qc)
         object.__setattr__(
             self, "_fused",
-            _make_fused(resolved, self.qc, self.max_iterations, alpha=self.scaling_factor),
+            _make_fused(resolved, self.qc, self.max_iterations,
+                        alpha=self.scaling_factor, early_exit=self.early_stopping,
+                        schedule=self.schedule),
         )
+        if self._fused is None and self.schedule == "layered":
+            object.__setattr__(
+                self, "_layered",
+                make_layered_minsum(self.qc, self.max_iterations,
+                                    self.scaling_factor,
+                                    early_exit=self.early_stopping),
+            )
+        else:
+            object.__setattr__(self, "_layered", None)
 
     def decode_full(self, llr: Array) -> DecodeResult:
+        if self._layered is not None:
+            return self._layered(llr)
         return decode_min_sum(llr, self._plan, self.max_iterations, self.scaling_factor)
 
     def decode(self, llr: Array):
@@ -252,6 +373,10 @@ class MinSumScaledDecoder:
             bits, conv = self._fused(llr)
             iters = int(conv.max()) if self.early_stopping else self.max_iterations
             return bits, iters
-        res = self.decode_full(llr)
+        if self._layered is not None:
+            res = self._layered(llr)
+        else:
+            res = decode_min_sum(llr, self._plan, self.max_iterations,
+                                 self.scaling_factor, early_exit=self.early_stopping)
         iters = int(res.conv_iter.max()) if self.early_stopping else self.max_iterations
         return res.bits, iters

@@ -110,9 +110,35 @@ def _phi(x):
     return -jnp.log(jnp.tanh(x / 2.0) + 1e-30)
 
 
+def _run_iterations(iteration, max_iterations: int, early_exit: bool, tile_done):
+    """Drive the per-tile iteration loop.
+
+    ``early_exit``: a ``while_loop`` that stops once ``tile_done()`` reports
+    every frame in this batch tile converged (each grid step exits
+    independently). Bit-exact vs the fixed-trip ``fori_loop``: exit only
+    happens after all decisions are frozen, and frozen frames ignore later
+    iterations anyway.
+    """
+    if not early_exit:
+        jax.lax.fori_loop(0, max_iterations, iteration, 0, unroll=False)
+        return
+
+    def cond(carry):
+        t, done = carry
+        return jnp.logical_and(t < max_iterations, jnp.logical_not(done))
+
+    def body(carry):
+        t, _ = carry
+        iteration(t, 0)
+        return t + 1, tile_done()
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.zeros((), jnp.bool_)))
+
+
 def _kernel(llr_ref, bits_ref, conv_ref, c2v, beliefs, frozen, conv_buf, *, st: _Structure,
             max_iterations: int, alpha: float, mode: str = "minsum",
-            track_convergence: bool = True):
+            track_convergence: bool = True, early_exit: bool = False,
+            schedule: str = "flooding"):
     Z, K, C, R = st.Z, st.K, st.C, st.R
     Bt = llr_ref.shape[1]
 
@@ -124,12 +150,20 @@ def _kernel(llr_ref, bits_ref, conv_ref, c2v, beliefs, frozen, conv_buf, *, st: 
     def ez(k):
         return slice(k * Z, (k + 1) * Z)
 
+    layered = schedule == "layered"
+
     def iteration(t, _):
         # ---- check update ------------------------------------------------
         # v2c is formed on the fly (belief[var] - c2v), rolled to check
         # alignment, reduced with the running (min, 2nd-min, sign-product)
         # trick, and written back — each edge belongs to exactly one row, so
         # in-place c2v updates never alias another row's reads.
+        #
+        # schedule="layered": each row folds its new c2v into the beliefs
+        # immediately (beliefs[col] += new - old), so later rows in the same
+        # sweep see it — serial-C scheduling at identical per-sweep cost
+        # (the row loop is already sequential here); the flooding path's
+        # end-of-sweep colsum recompute is skipped.
         for r in range(R):
             members = st.row_members[r]
             rolled = []
@@ -154,7 +188,12 @@ def _kernel(llr_ref, bits_ref, conv_ref, c2v, beliefs, frozen, conv_buf, *, st: 
                     loo = jnp.where(mag > m1, m1, m2)
                     loo = jnp.where(loo < _BIG, loo, 0.0)
                     out = alpha * sp * sgn * loo
-                    c2v[ez(k)] = _roll(out, st.shifts[k], Z)
+                    new = _roll(out, st.shifts[k], Z)
+                    if layered:
+                        beliefs[ez(st.cols[k])] = (
+                            beliefs[ez(st.cols[k])] + new - c2v[ez(k)]
+                        )
+                    c2v[ez(k)] = new
             else:  # sum-product: leave-one-out via phi-domain sums
                 phi_sum = jnp.zeros((Z, Bt), jnp.float32)
                 sp = jnp.ones((Z, Bt), jnp.float32)
@@ -171,16 +210,24 @@ def _kernel(llr_ref, bits_ref, conv_ref, c2v, beliefs, frozen, conv_buf, *, st: 
                 for k, sgn, ph in zip(members, rolled, phis):
                     loo = jnp.maximum(phi_sum - ph, 1e-7)
                     out = sp * sgn * _phi(loo)
-                    c2v[ez(k)] = _roll(out, st.shifts[k], Z)
+                    new = _roll(out, st.shifts[k], Z)
+                    if layered:
+                        beliefs[ez(st.cols[k])] = (
+                            beliefs[ez(st.cols[k])] + new - c2v[ez(k)]
+                        )
+                    c2v[ez(k)] = new
 
         # ---- beliefs, bits, syndrome, convergence tracking ---------------
         bits_now = []
         for c in range(C):
-            colsum = jnp.zeros((Z, Bt), jnp.float32)
-            for k in st.col_members[c]:
-                colsum = colsum + c2v[ez(k)]
-            belief = llr_ref[ez(c)] + colsum
-            beliefs[ez(c)] = belief
+            if layered:
+                belief = beliefs[ez(c)]
+            else:
+                colsum = jnp.zeros((Z, Bt), jnp.float32)
+                for k in st.col_members[c]:
+                    colsum = colsum + c2v[ez(k)]
+                belief = llr_ref[ez(c)] + colsum
+                beliefs[ez(c)] = belief
             if track_convergence:
                 bits_now.append(jnp.where(belief < 0, 1.0, 0.0))
         if track_convergence:
@@ -199,7 +246,8 @@ def _kernel(llr_ref, bits_ref, conv_ref, c2v, beliefs, frozen, conv_buf, *, st: 
             conv_buf[0:1, :] = jnp.where(newly, jnp.float32(t + 1), conv_buf[0:1, :])
         return 0
 
-    jax.lax.fori_loop(0, max_iterations, iteration, 0, unroll=False)
+    _run_iterations(iteration, max_iterations, early_exit,
+                    lambda: jnp.min(conv_buf[0:1, :]) > 0.0)
 
     # ---- final outputs ---------------------------------------------------
     converged = conv_buf[0:1, :] > 0.0
@@ -219,6 +267,8 @@ def make_fused_minsum(
     interpret: bool = False,
     mode: str = "minsum",
     track_convergence: bool = True,
+    early_exit: bool = False,
+    schedule: str = "flooding",
 ):
     """Build the fused decoder: (B, n) LLRs -> (bits (B, n), conv_iter (B,)).
 
@@ -230,7 +280,16 @@ def make_fused_minsum(
     (throughput mode: conv_iter returns max_iterations everywhere, bits are
     the final-iteration decisions — identical for frames that would not have
     early-frozen; classical semantics otherwise).
+    ``early_exit=True`` (requires tracking) stops each batch tile's iteration
+    loop once all its frames have valid syndromes — same outputs, and at
+    operating SNRs most tiles finish in a fraction of ``max_iterations``.
+    ``schedule``: "flooding" (reference semantics) or "layered" (serial-C:
+    each base row's new c2v folds into the beliefs immediately — ~2x faster
+    convergence per iteration at the same per-iteration cost; matches
+    :func:`ldpc_tpu.models.classical.make_layered_minsum`).
     """
+    if early_exit and not track_convergence:
+        raise ValueError("early_exit requires track_convergence=True")
     st = _structure(qc)
     Z, C, K = st.Z, st.C, st.K
     n = C * Z
@@ -245,7 +304,8 @@ def make_fused_minsum(
 
     kernel = functools.partial(
         _kernel, st=st, max_iterations=max_iterations, alpha=alpha, mode=mode,
-        track_convergence=track_convergence,
+        track_convergence=track_convergence, early_exit=early_exit,
+        schedule=schedule,
     )
 
     @jax.jit
@@ -324,7 +384,8 @@ def _roll_lanes(x: Array, s: int, Z: int) -> Array:
 
 def _kernel_zlane(llr_ref, bits_ref, conv_ref, c2v, beliefs, frozen, conv_buf, *,
                   st: _Structure, max_iterations: int, alpha: float,
-                  mode: str = "minsum", track_convergence: bool = True):
+                  mode: str = "minsum", track_convergence: bool = True,
+                  early_exit: bool = False, schedule: str = "flooding"):
     Z, K, C, R = st.Z, st.K, st.C, st.R
     Bt = conv_ref.shape[0]
     Zp = llr_ref.shape[1]
@@ -336,6 +397,8 @@ def _kernel_zlane(llr_ref, bits_ref, conv_ref, c2v, beliefs, frozen, conv_buf, *
 
     def eb(k):  # edge/column block row range (sublanes)
         return pl.ds(k * Bt, Bt)
+
+    layered = schedule == "layered"
 
     def iteration(t, _):
         for r in range(R):
@@ -361,7 +424,12 @@ def _kernel_zlane(llr_ref, bits_ref, conv_ref, c2v, beliefs, frozen, conv_buf, *
                     loo = jnp.where(mag > m1, m1, m2)
                     loo = jnp.where(loo < _BIG, loo, 0.0)
                     out = alpha * sp * sgn * loo
-                    c2v[eb(k), :Z] = _roll_lanes(out, st.shifts[k], Z)
+                    new = _roll_lanes(out, st.shifts[k], Z)
+                    if layered:
+                        beliefs[eb(st.cols[k]), :Z] = (
+                            beliefs[eb(st.cols[k]), :Z] + new - c2v[eb(k), :Z]
+                        )
+                    c2v[eb(k), :Z] = new
             else:  # sum-product
                 phi_sum = jnp.zeros((Bt, Z), jnp.float32)
                 sp = jnp.ones((Bt, Z), jnp.float32)
@@ -378,13 +446,19 @@ def _kernel_zlane(llr_ref, bits_ref, conv_ref, c2v, beliefs, frozen, conv_buf, *
                 for k, sgn, ph in zip(members, rolled, phis):
                     loo = jnp.maximum(phi_sum - ph, 1e-7)
                     out = sp * sgn * _phi(loo)
-                    c2v[eb(k), :Z] = _roll_lanes(out, st.shifts[k], Z)
+                    new = _roll_lanes(out, st.shifts[k], Z)
+                    if layered:
+                        beliefs[eb(st.cols[k]), :Z] = (
+                            beliefs[eb(st.cols[k]), :Z] + new - c2v[eb(k), :Z]
+                        )
+                    c2v[eb(k), :Z] = new
 
-        for c in range(C):
-            colsum = jnp.zeros((Bt, Z), jnp.float32)
-            for k in st.col_members[c]:
-                colsum = colsum + c2v[eb(k), :Z]
-            beliefs[eb(c), :Z] = llr_ref[eb(c), :Z] + colsum
+        if not layered:
+            for c in range(C):
+                colsum = jnp.zeros((Bt, Z), jnp.float32)
+                for k in st.col_members[c]:
+                    colsum = colsum + c2v[eb(k), :Z]
+                beliefs[eb(c), :Z] = llr_ref[eb(c), :Z] + colsum
         if track_convergence:
             # Parity via sign-products read straight from the beliefs scratch
             # (sum mod 2 == 0  <=>  product of per-bit signs == +1): no
@@ -408,7 +482,8 @@ def _kernel_zlane(llr_ref, bits_ref, conv_ref, c2v, beliefs, frozen, conv_buf, *
             conv_buf[:, 0:1] = jnp.where(newly, jnp.float32(t + 1), conv_buf[:, 0:1])
         return 0
 
-    jax.lax.fori_loop(0, max_iterations, iteration, 0, unroll=False)
+    _run_iterations(iteration, max_iterations, early_exit,
+                    lambda: jnp.min(conv_buf[:, 0:1]) > 0.0)
 
     converged = conv_buf[:, 0:1] > 0.0
     for c in range(C):
@@ -427,14 +502,20 @@ def make_fused_minsum_zlane(
     interpret: bool = False,
     mode: str = "minsum",
     track_convergence: bool = True,
+    early_exit: bool = False,
+    schedule: str = "flooding",
 ):
     """Large-Z fused decoder (Z in lanes): (B, n) LLRs -> (bits, conv_iter).
 
-    Same semantics as :func:`make_fused_minsum`; use for Z where the
-    batch-in-lanes layout exceeds VMEM (``fused_kernel_fits`` False).
-    ``batch_tile`` is the sublane tile (default: largest of 8/16/32 that
-    fits). Requires Z % 8 == 0 (sublane-transpose-free lane padding).
+    Same semantics as :func:`make_fused_minsum` (including ``early_exit``
+    and ``schedule``);
+    use for Z where the batch-in-lanes layout exceeds VMEM
+    (``fused_kernel_fits`` False). ``batch_tile`` is the sublane tile
+    (default: largest of 8/16/32 that fits). Requires Z % 8 == 0
+    (sublane-transpose-free lane padding).
     """
+    if early_exit and not track_convergence:
+        raise ValueError("early_exit requires track_convergence=True")
     st = _structure(qc)
     Z, C, K = st.Z, st.C, st.K
     n = C * Z
@@ -450,7 +531,8 @@ def make_fused_minsum_zlane(
 
     kernel = functools.partial(
         _kernel_zlane, st=st, max_iterations=max_iterations, alpha=alpha,
-        mode=mode, track_convergence=track_convergence,
+        mode=mode, track_convergence=track_convergence, early_exit=early_exit,
+        schedule=schedule,
     )
 
     @jax.jit

@@ -86,7 +86,7 @@ class ComparativeEvaluator:
             from ldpc_tpu.models.classical import _make_fused, _resolve_backend
 
             kernel = _make_fused(_resolve_backend("auto", qc), qc, max_iterations,
-                                 mode="sumproduct", alpha=1.0)
+                                 mode="sumproduct", alpha=1.0, early_exit=early_exit)
             if kernel is not None:  # else: fall through to the XLA path
                 self.add_decoder(name, lambda llr: kernel(llr)[0], lambda llr: kernel(llr)[1])
                 return
@@ -108,7 +108,7 @@ class ComparativeEvaluator:
             from ldpc_tpu.models.classical import _make_fused, _resolve_backend
 
             kernel = _make_fused(_resolve_backend("auto", qc), qc, max_iterations,
-                                 alpha=scaling_factor)
+                                 alpha=scaling_factor, early_exit=early_exit)
             if kernel is not None:  # else: fall through to the XLA path
                 self.add_decoder(name, lambda llr: kernel(llr)[0], lambda llr: kernel(llr)[1])
                 return

@@ -172,3 +172,41 @@ def test_no_track_mode_final_bits_match():
     final_bits = (ref.beliefs < 0).astype(np.float32)
     np.testing.assert_array_equal(np.asarray(bf), np.asarray(final_bits))
     assert (np.asarray(cf) == 6).all()
+
+
+class TestEarlyExitKernel:
+    """In-kernel early exit (while_loop): identical outputs to the
+    fixed-trip kernel, per batch tile."""
+
+    def test_matches_fixed_trip(self):
+        qc = qc_layout(get_base_graph("nr_2_0_4"), 4)
+        n = qc.num_base_cols * qc.Z
+        # Mix of SNRs so some tiles converge early and some never do.
+        llr_hi = bpsk_awgn_llr(jax.random.PRNGKey(0), jnp.zeros((8, n)), 6.0)
+        llr_lo = bpsk_awgn_llr(jax.random.PRNGKey(1), jnp.zeros((8, n)), -4.0)
+        llr = jnp.concatenate([llr_hi, llr_lo])
+        fixed = make_fused_minsum(qc, 10, batch_tile=8, interpret=True)
+        early = make_fused_minsum(qc, 10, batch_tile=8, interpret=True, early_exit=True)
+        b1, c1 = fixed(llr)
+        b2, c2 = early(llr)
+        np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+    def test_zlane_matches_fixed_trip(self):
+        from ldpc_tpu.ops.pallas_minsum import make_fused_minsum_zlane
+
+        qc = qc_layout(get_base_graph("toy_4x8"), 8)
+        n = qc.num_base_cols * qc.Z
+        llr = bpsk_awgn_llr(jax.random.PRNGKey(2), jnp.zeros((16, n)), 3.0)
+        fixed = make_fused_minsum_zlane(qc, 10, batch_tile=8, interpret=True)
+        early = make_fused_minsum_zlane(qc, 10, batch_tile=8, interpret=True,
+                                        early_exit=True)
+        b1, c1 = fixed(llr)
+        b2, c2 = early(llr)
+        np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+    def test_requires_tracking(self):
+        qc = qc_layout(get_base_graph("toy_4x8"), 4)
+        with pytest.raises(ValueError, match="track_convergence"):
+            make_fused_minsum(qc, 5, early_exit=True, track_convergence=False)
