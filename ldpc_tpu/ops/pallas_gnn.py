@@ -133,9 +133,17 @@ def _kernel(llr_ref, w1v_ref, w2v_ref, w1c_ref, w2c_ref, b1v_ref, b1c_ref,
     bf16 = jnp.bfloat16
 
     def roll(x, s):
+        # Mosaic's dynamic_rotate only supports 32-bit data: bf16 feature
+        # blocks take a f32 round-trip around the lane rotation.
         if packed:
             s = (s % Z) * Bt
-            return x if s == 0 else pltpu.roll(x, s, 1)
+            if s == 0:
+                return x
+            if x.dtype == jnp.bfloat16:
+                return pltpu.roll(x.astype(jnp.float32), s, 1).astype(jnp.bfloat16)
+            return pltpu.roll(x, s, 1)
+        if x.dtype == jnp.bfloat16:
+            return _roll_lanes(x.astype(jnp.float32), s, Z).astype(jnp.bfloat16)
         return _roll_lanes(x, s, Z)
 
     def fb(k):  # feature block rows for message k
@@ -320,9 +328,17 @@ def _corrected_kernel(llr_ref, w1v_ref, w2v_ref, w1c_ref, w2c_ref, b1v_ref,
     bf16 = jnp.bfloat16
 
     def roll(x, s):
+        # Mosaic's dynamic_rotate only supports 32-bit data: bf16 feature
+        # blocks take a f32 round-trip around the lane rotation.
         if packed:
             s = (s % Z) * Bt
-            return x if s == 0 else pltpu.roll(x, s, 1)
+            if s == 0:
+                return x
+            if x.dtype == jnp.bfloat16:
+                return pltpu.roll(x.astype(jnp.float32), s, 1).astype(jnp.bfloat16)
+            return pltpu.roll(x, s, 1)
+        if x.dtype == jnp.bfloat16:
+            return _roll_lanes(x.astype(jnp.float32), s, Z).astype(jnp.bfloat16)
         return _roll_lanes(x, s, Z)
 
     def fb(k):
@@ -514,6 +530,11 @@ def make_fused_corrected_gnn_decoder(
         pl.BlockSpec(x.shape, lambda i: (0, 0), memory_space=vm) for x in weights
     ]
 
+    # Per-tile row block padded to a sublane multiple: Mosaic requires the
+    # non-final block rows divisible by 8 (C=52 is not), so each tile holds
+    # Cp rows, the last Cp - C zero/ignored.
+    Cp = -(-C // 8) * 8
+
     @jax.jit
     def decode(llr: Array) -> Array:
         B = llr.shape[0]
@@ -522,16 +543,17 @@ def make_fused_corrected_gnn_decoder(
             llr = jnp.concatenate([llr, jnp.zeros((pad, n), llr.dtype)], axis=0)
         Bp = llr.shape[0]
         nt = Bp // Bt
-        g = llr.reshape(nt, Bt, C, Z).transpose(0, 2, 3, 1).reshape(nt * C, Z * Bt)
-        if lanes != Z * Bt:
-            g = jnp.pad(g, ((0, 0), (0, lanes - Z * Bt)))
+        g = llr.reshape(nt, Bt, C, Z).transpose(0, 2, 3, 1).reshape(nt, C, Z * Bt)
+        g = jnp.pad(g, ((0, 0), (0, Cp - C), (0, lanes - Z * Bt))).reshape(
+            nt * Cp, lanes
+        )
         soft = pl.pallas_call(
             kernel,
             grid=(nt,),
-            in_specs=[pl.BlockSpec((C, lanes), lambda i: (i, 0), memory_space=vm)]
+            in_specs=[pl.BlockSpec((Cp, lanes), lambda i: (i, 0), memory_space=vm)]
             + wspecs,
-            out_specs=pl.BlockSpec((C, lanes), lambda i: (i, 0), memory_space=vm),
-            out_shape=jax.ShapeDtypeStruct((nt * C, lanes), jnp.float32),
+            out_specs=pl.BlockSpec((Cp, lanes), lambda i: (i, 0), memory_space=vm),
+            out_shape=jax.ShapeDtypeStruct((nt * Cp, lanes), jnp.float32),
             scratch_shapes=[
                 pltpu.VMEM((K, lanes), jnp.float32),  # v2c
                 pltpu.VMEM((K, lanes), jnp.float32),  # c2v
@@ -545,7 +567,10 @@ def make_fused_corrected_gnn_decoder(
             interpret=interpret,
         )(g, *weights)
         soft = (
-            soft[:, : Z * Bt].reshape(nt, C, Z, Bt).transpose(0, 3, 1, 2).reshape(Bp, n)
+            soft.reshape(nt, Cp, lanes)[:, :C, : Z * Bt]
+            .reshape(nt, C, Z, Bt)
+            .transpose(0, 3, 1, 2)
+            .reshape(Bp, n)
         )
         return soft[:B]
 
@@ -620,6 +645,8 @@ def make_fused_gnn_decoder(
         pl.BlockSpec(x.shape, lambda i: (0, 0), memory_space=vm) for x in weights
     ]
 
+    Cp = -(-C // 8) * 8  # see make_fused_corrected_gnn_decoder: 8-sublane blocks
+
     @jax.jit
     def decode(llr: Array) -> Array:
         B = llr.shape[0]
@@ -629,16 +656,17 @@ def make_fused_gnn_decoder(
         Bp = llr.shape[0]
         nt = Bp // Bt
         # z-major lanes: lane = z * Bt + b
-        g = llr.reshape(nt, Bt, C, Z).transpose(0, 2, 3, 1).reshape(nt * C, Z * Bt)
-        if lanes != Z * Bt:
-            g = jnp.pad(g, ((0, 0), (0, lanes - Z * Bt)))
+        g = llr.reshape(nt, Bt, C, Z).transpose(0, 2, 3, 1).reshape(nt, C, Z * Bt)
+        g = jnp.pad(g, ((0, 0), (0, Cp - C), (0, lanes - Z * Bt))).reshape(
+            nt * Cp, lanes
+        )
         soft = pl.pallas_call(
             kernel,
             grid=(nt,),
-            in_specs=[pl.BlockSpec((C, lanes), lambda i: (i, 0), memory_space=vm)]
+            in_specs=[pl.BlockSpec((Cp, lanes), lambda i: (i, 0), memory_space=vm)]
             + wspecs,
-            out_specs=pl.BlockSpec((C, lanes), lambda i: (i, 0), memory_space=vm),
-            out_shape=jax.ShapeDtypeStruct((nt * C, lanes), jnp.float32),
+            out_specs=pl.BlockSpec((Cp, lanes), lambda i: (i, 0), memory_space=vm),
+            out_shape=jax.ShapeDtypeStruct((nt * Cp, lanes), jnp.float32),
             scratch_shapes=[
                 pltpu.VMEM((K * h, lanes), jnp.bfloat16),  # feats
                 pltpu.VMEM((K * h if input_injection else 8, lanes), jnp.bfloat16),
@@ -648,7 +676,10 @@ def make_fused_gnn_decoder(
             interpret=interpret,
         )(g, *weights)
         soft = (
-            soft[:, : Z * Bt].reshape(nt, C, Z, Bt).transpose(0, 3, 1, 2).reshape(Bp, n)
+            soft.reshape(nt, Cp, lanes)[:, :C, : Z * Bt]
+            .reshape(nt, C, Z, Bt)
+            .transpose(0, 3, 1, 2)
+            .reshape(Bp, n)
         )
         return soft[:B]
 

@@ -139,3 +139,30 @@ def test_batch_padding():
     fused = make_fused_gnn_decoder(qc, params, num_iterations=2, hidden_dim=8,
                                    interpret=True)
     assert fused(llr).shape == (5, n)
+
+
+def test_multi_tile_batch():
+    """Batch spanning several grid tiles (nt > 1): the per-tile row block is
+    padded to a sublane multiple (C=52 is not divisible by 8 — regression
+    test for the Mosaic block-shape requirement that only bites at nt > 1)."""
+    from ldpc_tpu.models.message_gnn import create_corrected_minsum_gnn_decoder
+    from ldpc_tpu.ops.pallas_gnn import make_fused_corrected_gnn_decoder
+
+    qc = qc_layout(get_base_graph("nr_2_0_4"), 4)  # Bt = 32 per tile
+    plan = qc_msg.make_plan(qc)
+    n = plan.C * plan.Z
+    model = create_corrected_minsum_gnn_decoder(plan, num_iterations=2,
+                                                hidden_dim=8, input_injection=True)
+    llr = bpsk_awgn_llr(jax.random.PRNGKey(9), jnp.zeros((80, n)), 2.0)  # nt=3
+    params = model.init(jax.random.PRNGKey(1), llr[:2], plan)
+    soft_ref, _ = model.apply(params, llr, plan)
+    fused = make_fused_corrected_gnn_decoder(qc, params, num_iterations=2,
+                                             hidden_dim=8, input_injection=True,
+                                             interpret=True)
+    soft = fused(llr)
+    assert soft.shape == (80, n)
+    np.testing.assert_allclose(np.asarray(soft), np.asarray(soft_ref), atol=3e-2)
+    # zero-init corrections = exact min-sum: every tile must agree, which
+    # fails if tile boundaries mis-slice the padded rows
+    batch1 = fused(llr[:1])
+    np.testing.assert_allclose(np.asarray(soft[:1]), np.asarray(batch1), atol=1e-6)
