@@ -49,6 +49,11 @@ from ldpc_tpu.ops.pallas_minsum import _VMEM_BUDGET, _roll_lanes, _structure
 
 Array = jax.Array
 
+# The unrolled per-message MLP loop needs more scoped (stack) VMEM than the
+# 16 MiB default at h=64 — v5e has 128 MiB per core, so grant the kernel a
+# generous slice for spilled vector temporaries.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
+
 
 def _extract(params, qc: QCLayout, num_iterations: int, hidden_dim: int,
              share_layers: bool, input_injection: bool):
@@ -564,6 +569,7 @@ def make_fused_corrected_gnn_decoder(
                 pltpu.VMEM((st.R * h, lanes), jnp.bfloat16),  # check-relation means
                 pltpu.VMEM((C, lanes), jnp.float32),  # f32 colsum (exact min-sum)
             ],
+            compiler_params=_COMPILER_PARAMS,
             interpret=interpret,
         )(g, *weights)
         soft = (
@@ -673,6 +679,7 @@ def make_fused_gnn_decoder(
                 pltpu.VMEM((C * h, lanes), jnp.bfloat16),  # var-relation means
                 pltpu.VMEM((st.R * h, lanes), jnp.bfloat16),  # check-relation means
             ],
+            compiler_params=_COMPILER_PARAMS,
             interpret=interpret,
         )(g, *weights)
         soft = (
