@@ -1,0 +1,157 @@
+"""High-precision flagship curve: trained 5-iteration decoders vs classical.
+
+Resolves the error floors of the learned 5-iteration decoders (corrected
+GNN, per-iteration offset min-sum) against classical scaled min-sum at the
+same iteration budget, on NR BG2 Z=4 with random codewords (GF(2) encoder)
+through QPSK/AWGN — the honest protocol; all decoders see identical noise
+realizations per (seed, snr, trial), so the comparison is paired.
+
+Everything runs through the fused Pallas serving kernels
+(`ops/pallas_minsum.py`, `ops/pallas_neural.py`, `ops/pallas_gnn.py`), so
+1e9+ bits per SNR point is minutes of chip time. The low-precision committed
+curve (results/nr_2_0_4_comparison.json, 2.6e6 bits/point) cannot resolve
+BER below ~1e-6; this one goes to ~1e-8.
+
+Run on TPU:  PYTHONPATH=. python tools/high_precision_flagship.py \
+                 [--bits-per-point 1e9] [--snrs 0,1,2,3,4]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+
+def load_params(path: str, template):
+    payload = serialization.msgpack_restore(Path(path).read_bytes())
+    return serialization.from_state_dict(template, payload["params"])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bits-per-point", type=float, default=1e9)
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--chunk", type=int, default=16, help="MC trials per dispatch")
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--snrs", default="0,1,2,3,4")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--corrected-ckpt", default="results/corrected_gnn_nr_2_0_4.msgpack")
+    ap.add_argument("--oms-ckpt", default="results/oms_per_iter_nr_2_0_4.msgpack")
+    ap.add_argument("--out", default="results/nr_2_0_4_flagship_highprecision.json")
+    args = ap.parse_args()
+
+    from ldpc_tpu.codes import (
+        encoder_from_H,
+        expand_base_matrix,
+        get_base_graph,
+        qc_layout,
+    )
+    from ldpc_tpu.models.message_gnn import create_corrected_minsum_gnn_decoder
+    from ldpc_tpu.models.neural_min_sum import NeuralMinSumDecoder
+    from ldpc_tpu.ops import qc_msg
+    from ldpc_tpu.ops.pallas_gnn import make_fused_corrected_gnn_decoder
+    from ldpc_tpu.ops.pallas_minsum import make_fused_minsum
+    from ldpc_tpu.ops.pallas_neural import make_fused_neural_minsum
+    from ldpc_tpu.utils import qpsk_awgn_llr
+
+    bg = get_base_graph("nr_2_0_4")
+    qc = qc_layout(bg, 4)
+    plan = qc_msg.make_plan(qc)
+    n = qc.num_vars
+    enc = encoder_from_H(expand_base_matrix(bg, 4))
+    B, T = args.batch, args.iters
+    dummy = jnp.zeros((2, n))
+
+    decoders: dict[str, callable] = {}
+
+    ms = make_fused_minsum(qc, T, 0.75, track_convergence=False)
+    decoders[f"Min-Sum ({T} iters)"] = lambda llr: ms(llr)[0]
+
+    oms_model = NeuralMinSumDecoder(
+        num_iterations=T, depth_L=2, weight_sharing="edge", learnable_alpha=True,
+        learnable_offset=True, per_iteration=True, loss_mode="mean",
+    )
+    oms_params = load_params(
+        args.oms_ckpt, oms_model.init(jax.random.PRNGKey(0), dummy, plan)
+    )
+    decoders[f"Offset min-sum {T}it (trained, per-iter)"] = make_fused_neural_minsum(
+        qc, oms_params, T, depth_L=2, per_iteration=True
+    )
+
+    gnn_model = create_corrected_minsum_gnn_decoder(
+        plan, num_iterations=T, hidden_dim=64, input_injection=True
+    )
+    gnn_params = load_params(
+        args.corrected_ckpt, gnn_model.init(jax.random.PRNGKey(0), dummy, plan)
+    )
+    gnn = make_fused_corrected_gnn_decoder(
+        qc, gnn_params, num_iterations=T, hidden_dim=64, input_injection=True
+    )
+    decoders[f"Corrected GNN {T}it (trained)"] = lambda llr: (gnn(llr) > 0.5).astype(
+        jnp.float32
+    )
+
+    def make_chunk(decode):
+        @jax.jit
+        def run(keys, snr):  # keys: (chunk, 2) uint32
+            def body(carry, key):
+                kc, kn = jax.random.split(jax.random.wrap_key_data(key))
+                bits = enc.random_codewords(kc, B)
+                llr = qpsk_awgn_llr(kn, bits, snr)
+                errs = jnp.abs(decode(llr) - bits)
+                be, fe = carry
+                return (be + errs.sum(), fe + (errs.sum(axis=1) > 0).sum()), None
+
+            (be, fe), _ = jax.lax.scan(body, (jnp.zeros(()), jnp.zeros(())), keys)
+            return be, fe
+
+        return run
+
+    chunks = {name: make_chunk(fn) for name, fn in decoders.items()}
+
+    snrs = [float(s) for s in args.snrs.split(",")]
+    trials = max(1, int(args.bits_per_point / (B * n)))
+    n_chunks = -(-trials // args.chunk)
+    trials = n_chunks * args.chunk
+    bits_pp = trials * B * n
+    print(f"backend={jax.default_backend()}  {trials} trials x {B} x {n} "
+          f"= {bits_pp:.3g} bits/point, {len(snrs)} points")
+
+    results = {
+        "code": "nr_2_0_4", "Z": 4, "iterations": T, "modulation": "qpsk",
+        "data": "random_codewords", "bits_per_point": bits_pp, "snr": snrs,
+        "decoders": {},
+    }
+    root = jax.random.PRNGKey(args.seed)
+    for name, run in chunks.items():
+        bers, fers, t0 = [], [], time.time()
+        for si, snr in enumerate(snrs):
+            be = fe = 0.0
+            for c in range(n_chunks):
+                base = jax.random.fold_in(jax.random.fold_in(root, si), c)
+                keys = jax.random.key_data(jax.random.split(base, args.chunk))
+                b, f = run(keys, jnp.float32(snr))
+                be += float(b)
+                fe += float(f)
+            bers.append(be / bits_pp)
+            fers.append(fe / (trials * B))
+            print(f"  {name:40s} {snr:+.1f} dB  BER {bers[-1]:.3e}  "
+                  f"FER {fers[-1]:.3e}  ({be:.0f} bit errs)")
+        dt = time.time() - t0
+        results["decoders"][name] = {"ber": bers, "fer": fers,
+                                     "seconds": round(dt, 1)}
+        print(f"  {name}: {len(snrs) * bits_pp / dt / 1e6:.1f} Mbit/s decoded")
+
+    Path(args.out).write_text(json.dumps(results, indent=1))
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
