@@ -60,6 +60,9 @@ def main() -> None:
     ap.add_argument("--snr-lo", type=float, default=-3.0)
     ap.add_argument("--snr-hi", type=float, default=1.0)
     ap.add_argument("--scan", type=int, default=200)
+    ap.add_argument("--grad-clip", type=float, default=0.0,
+                    help="global-norm gradient clip (0 = off); recommended "
+                         "for deep (iters >= 10) corrected models")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--tag", default=None, help="artifact name stem (default: model_code)")
     ap.add_argument("--out-dir", default="results")
@@ -113,7 +116,8 @@ def main() -> None:
     trainer.train_steps(
         num_steps=args.steps, batch_size=args.batch, learning_rate=args.lr,
         snr_range=[args.snr_lo, args.snr_hi], data_mode="random_codewords",
-        optimizer="adam", weight_decay=0.0, scan_steps=args.scan,
+        optimizer="adam", weight_decay=0.0, grad_clip=args.grad_clip,
+        scan_steps=args.scan,
         lr_schedule="cosine", warmup_steps=args.warmup,
         checkpoint_fn=checkpoint,
     )
