@@ -124,14 +124,16 @@ def gnn_vmem_bytes(qc: QCLayout, hidden_dim: int, lanes: int,
                    input_injection: bool) -> int:
     K, C, R = qc.num_base_edges, qc.num_base_cols, qc.num_base_rows
     h = hidden_dim
-    feat_blocks = K * (2 if input_injection else 1) + C + R
-    return feat_blocks * h * lanes * 2 + 2 * C * lanes * 4  # bf16 feats + f32 io
+    bf16_blocks = K + (C if input_injection else 0) + C + R  # feats/llr/means
+    f32_blocks = (2 * C if input_injection else C) + R  # pre_col + pre_row
+    return (bf16_blocks * 2 + f32_blocks * 4) * h * lanes + 2 * C * lanes * 4
 
 
 def _kernel(llr_ref, w1v_ref, w2v_ref, w1c_ref, w2c_ref, b1v_ref, b1c_ref,
             b2v_ref, b2c_ref, emb_ref, soft_ref,
-            feats, llr_feats, var_mean, row_mean, *, st, h: int, T: int,
-            Bt: int, lanes: int, inject: bool, residual_from: int = 1):
+            feats, llr_feats, var_mean, row_mean, pre_col, pre_row, *,
+            st, h: int, T: int, Bt: int, lanes: int, inject: bool,
+            residual_from: int = 1):
     Z, K, C, R = st.Z, st.K, st.C, st.R
     packed = Bt > 1
     f32 = jnp.float32
@@ -157,12 +159,13 @@ def _kernel(llr_ref, w1v_ref, w2v_ref, w1c_ref, w2c_ref, b1v_ref, b1c_ref,
     # ---- seed: feats0 = emb_w * llr[col] + emb_b --------------------------
     emb_w = emb_ref[0:h, 0:1]  # (h, 1)
     emb_b = emb_ref[h : 2 * h, 0:1]
-    for k in range(K):
-        row = llr_ref[st.cols[k] : st.cols[k] + 1, :]  # (1, lanes) f32
+    for c in range(C):
+        row = llr_ref[c : c + 1, :]  # (1, lanes) f32
         f0 = (jnp.broadcast_to(row, (h, lanes)) * emb_w + emb_b).astype(bf16)
-        feats[fb(k), :] = f0
         if inject:
-            llr_feats[fb(k), :] = f0
+            llr_feats[fb(c), :] = f0  # per-COLUMN: all edges of c share it
+        for k in st.col_members[c]:
+            feats[fb(k), :] = f0
 
     inv_dc = [1.0 / max(len(st.col_members[c]), 1) for c in range(C)]
     inv_dr = [1.0 / max(len(st.row_members[r]), 1) for r in range(R)]
@@ -182,30 +185,48 @@ def _kernel(llr_ref, w1v_ref, w2v_ref, w1c_ref, w2c_ref, b1v_ref, b1c_ref,
                 acc = acc + roll(feats[fb(k), :], -st.shifts[k]).astype(f32)
             row_mean[fb(r), :] = (acc * inv_dr[r]).astype(bf16)
 
-        h_in = 2 * h + (h if inject else 0)
-        w1v = w1v_ref[th, 0:h_in]  # (h, h_in) bf16
+        w1v_f = w1v_ref[th, 0:h]  # first-layer weight blocks (h, h) bf16
+        w1v_a = w1v_ref[th, h : 2 * h]
+        w1c_f = w1c_ref[th, 0:h]
+        w1c_a = w1c_ref[th, h : 2 * h]
         w2v = w2v_ref[th, 0:h]
-        w1c = w1c_ref[th, 0:h_in]
         w2c = w2c_ref[th, 0:h]
         b2v = b2v_ref[th, 0:1]  # (h, 1) f32
         b2c = b2c_ref[th, 0:1]
         res_gate = jnp.where(t >= residual_from, 1.0, 0.0).astype(f32)
 
+        # ---- shared first-layer contractions ------------------------------
+        # agg_v and the LLR block are identical for every edge of a column;
+        # agg_c is a per-row quantity whose lane roll commutes with the
+        # contraction (roll(W @ x) == W @ roll(x): lanes never mix), so the
+        # (h, 3h) @ (3h, lanes) per-edge matmul of the naive layout factors
+        # into per-column/per-row precomputes + one (h, h) per-edge dot.
+        for c in range(C):
+            pc = jnp.dot(w1v_a, var_mean[fb(c), :], preferred_element_type=f32)
+            if inject:
+                lf = llr_feats[fb(c), :]
+                pc = pc + jnp.dot(w1v_ref[th, 2 * h : 3 * h], lf,
+                                  preferred_element_type=f32)
+                pre_col[fb(C + c), :] = jnp.dot(w1c_ref[th, 2 * h : 3 * h], lf,
+                                                preferred_element_type=f32)
+            pre_col[fb(c), :] = pc
+        for r in range(R):
+            pre_row[fb(r), :] = jnp.dot(w1c_a, row_mean[fb(r), :],
+                                        preferred_element_type=f32)
+
         # ---- per-message MLP updates --------------------------------------
         for k in range(K):
             f_k = feats[fb(k), :]
-            agg_v = var_mean[fb(st.cols[k]), :]
-            agg_c = roll(row_mean[fb(st.rows[k]), :], st.shifts[k])
-            parts_v = [f_k, agg_v] + ([llr_feats[fb(k), :]] if inject else [])
-            parts_c = [f_k, agg_c] + ([llr_feats[fb(k), :]] if inject else [])
-            xin_v = jnp.concatenate(parts_v, axis=0)  # (h_in, lanes) bf16
-            xin_c = jnp.concatenate(parts_c, axis=0)
-            pre_v = jnp.dot(w1v, xin_v, preferred_element_type=f32)
-            pre_v = pre_v + b1v_ref[th, k : k + 1]
+            c_k, r_k = st.cols[k], st.rows[k]
+            pre_v = (jnp.dot(w1v_f, f_k, preferred_element_type=f32)
+                     + pre_col[fb(c_k), :] + b1v_ref[th, k : k + 1])
+            pre_c = (jnp.dot(w1c_f, f_k, preferred_element_type=f32)
+                     + roll(pre_row[fb(r_k), :], st.shifts[k])
+                     + b1c_ref[th, k : k + 1])
+            if inject:
+                pre_c = pre_c + pre_col[fb(C + c_k), :]
             h1_v = jnp.maximum(pre_v, 0.0).astype(bf16)
             out_v = jnp.dot(w2v, h1_v, preferred_element_type=f32) + b2v
-            pre_c = jnp.dot(w1c, xin_c, preferred_element_type=f32)
-            pre_c = pre_c + b1c_ref[th, k : k + 1]
             h1_c = jnp.maximum(pre_c, 0.0).astype(bf16)
             out_c = jnp.dot(w2c, h1_c, preferred_element_type=f32) + b2c
             new = out_v.astype(bf16) + out_c.astype(bf16)
@@ -325,8 +346,8 @@ _BIG = 1e9
 def _corrected_kernel(llr_ref, w1v_ref, w2v_ref, w1c_ref, w2c_ref, b1v_ref,
                       b1c_ref, b2v_ref, b2c_ref, emb_ref, proj_ref, soft_ref,
                       v2c, c2v, edge_llr, feats, llr_feats, var_mean, row_mean,
-                      colsum, *, st, h: int, T: int, Bt: int, lanes: int,
-                      inject: bool, w_ch: float, alpha: float):
+                      pre_col, pre_row, colsum, *, st, h: int, T: int, Bt: int,
+                      lanes: int, inject: bool, w_ch: float, alpha: float):
     Z, K, C, R = st.Z, st.K, st.C, st.R
     packed = Bt > 1
     f32 = jnp.float32
@@ -356,13 +377,14 @@ def _corrected_kernel(llr_ref, w1v_ref, w2v_ref, w1c_ref, w2c_ref, b1v_ref,
         return (jnp.broadcast_to(row, (h, lanes)) * emb_w + emb_b).astype(bf16)
 
     # ---- seed ------------------------------------------------------------
-    for k in range(K):
-        row = llr_ref[st.cols[k] : st.cols[k] + 1, :]
-        edge_llr[k : k + 1, :] = row
-        v2c[k : k + 1, :] = row
-        c2v[k : k + 1, :] = jnp.zeros((1, lanes), f32)
+    for c in range(C):
+        row = llr_ref[c : c + 1, :]
         if inject:
-            llr_feats[fb(k), :] = embed(row)
+            llr_feats[fb(c), :] = embed(row)  # per-COLUMN: edges share it
+        for k in st.col_members[c]:
+            edge_llr[k : k + 1, :] = row
+            v2c[k : k + 1, :] = row
+            c2v[k : k + 1, :] = jnp.zeros((1, lanes), f32)
 
     inv_dc = [1.0 / max(len(st.col_members[c]), 1) for c in range(C)]
     inv_dr = [1.0 / max(len(st.row_members[r]), 1) for r in range(R)]
@@ -370,7 +392,6 @@ def _corrected_kernel(llr_ref, w1v_ref, w2v_ref, w1c_ref, w2c_ref, b1v_ref,
     def gnn_correction(idx, msgs, out_msgs):
         """out_msgs[k] += proj(GNNLayer_idx(embed(msgs)))  for every edge."""
         ih = pl.ds(idx * h, h)
-        h_in = 2 * h + (h if inject else 0)
         for k in range(K):
             feats[fb(k), :] = embed(msgs[k : k + 1, :])
         for c in range(C):
@@ -383,26 +404,42 @@ def _corrected_kernel(llr_ref, w1v_ref, w2v_ref, w1c_ref, w2c_ref, b1v_ref,
             for k in st.row_members[r]:
                 acc = acc + roll(feats[fb(k), :], -st.shifts[k]).astype(f32)
             row_mean[fb(r), :] = (acc * inv_dr[r]).astype(bf16)
-        w1v = w1v_ref[ih, 0:h_in]
+        w1v_f = w1v_ref[ih, 0:h]
+        w1v_a = w1v_ref[ih, h : 2 * h]
+        w1c_f = w1c_ref[ih, 0:h]
+        w1c_a = w1c_ref[ih, h : 2 * h]
         w2v = w2v_ref[ih, 0:h]
-        w1c = w1c_ref[ih, 0:h_in]
         w2c = w2c_ref[ih, 0:h]
         b2v = b2v_ref[ih, 0:1]
         b2c = b2c_ref[ih, 0:1]
         pw = proj_ref[ih, 0:1]  # (h, 1)
         pb = proj_ref[pl.ds(2 * T * h + idx, 1), 0:1]  # (1, 1)
+        # shared first-layer contractions (see _kernel: the lane roll
+        # commutes with the contraction, agg_v/LLR blocks are per-column)
+        for c in range(C):
+            pc = jnp.dot(w1v_a, var_mean[fb(c), :], preferred_element_type=f32)
+            if inject:
+                lf = llr_feats[fb(c), :]
+                pc = pc + jnp.dot(w1v_ref[ih, 2 * h : 3 * h], lf,
+                                  preferred_element_type=f32)
+                pre_col[fb(C + c), :] = jnp.dot(w1c_ref[ih, 2 * h : 3 * h], lf,
+                                                preferred_element_type=f32)
+            pre_col[fb(c), :] = pc
+        for r in range(R):
+            pre_row[fb(r), :] = jnp.dot(w1c_a, row_mean[fb(r), :],
+                                        preferred_element_type=f32)
         for k in range(K):
             f_k = feats[fb(k), :]
-            agg_v = var_mean[fb(st.cols[k]), :]
-            agg_c = roll(row_mean[fb(st.rows[k]), :], st.shifts[k])
-            parts_v = [f_k, agg_v] + ([llr_feats[fb(k), :]] if inject else [])
-            parts_c = [f_k, agg_c] + ([llr_feats[fb(k), :]] if inject else [])
-            pre_v = jnp.dot(w1v, jnp.concatenate(parts_v, axis=0),
-                            preferred_element_type=f32) + b1v_ref[ih, k : k + 1]
+            c_k, r_k = st.cols[k], st.rows[k]
+            pre_v = (jnp.dot(w1v_f, f_k, preferred_element_type=f32)
+                     + pre_col[fb(c_k), :] + b1v_ref[ih, k : k + 1])
             out_v = jnp.dot(w2v, jnp.maximum(pre_v, 0.0).astype(bf16),
                             preferred_element_type=f32) + b2v
-            pre_c = jnp.dot(w1c, jnp.concatenate(parts_c, axis=0),
-                            preferred_element_type=f32) + b1c_ref[ih, k : k + 1]
+            pre_c = (jnp.dot(w1c_f, f_k, preferred_element_type=f32)
+                     + roll(pre_row[fb(r_k), :], st.shifts[k])
+                     + b1c_ref[ih, k : k + 1])
+            if inject:
+                pre_c = pre_c + pre_col[fb(C + c_k), :]
             out_c = jnp.dot(w2c, jnp.maximum(pre_c, 0.0).astype(bf16),
                             preferred_element_type=f32) + b2c
             layer_out = (out_v.astype(bf16) + out_c.astype(bf16)).astype(f32)
@@ -564,9 +601,12 @@ def make_fused_corrected_gnn_decoder(
                 pltpu.VMEM((K, lanes), jnp.float32),  # c2v
                 pltpu.VMEM((K, lanes), jnp.float32),  # edge llr
                 pltpu.VMEM((K * h, lanes), jnp.bfloat16),  # layer feats
-                pltpu.VMEM((K * h if input_injection else 8, lanes), jnp.bfloat16),
+                pltpu.VMEM((C * h if input_injection else 8, lanes), jnp.bfloat16),
                 pltpu.VMEM((C * h, lanes), jnp.bfloat16),  # var-relation means
                 pltpu.VMEM((st.R * h, lanes), jnp.bfloat16),  # check-relation means
+                pltpu.VMEM(((2 if input_injection else 1) * C * h, lanes),
+                           jnp.float32),  # per-column first-layer precompute
+                pltpu.VMEM((st.R * h, lanes), jnp.float32),  # per-row precompute
                 pltpu.VMEM((C, lanes), jnp.float32),  # f32 colsum (exact min-sum)
             ],
             compiler_params=_COMPILER_PARAMS,
@@ -675,9 +715,12 @@ def make_fused_gnn_decoder(
             out_shape=jax.ShapeDtypeStruct((nt * Cp, lanes), jnp.float32),
             scratch_shapes=[
                 pltpu.VMEM((K * h, lanes), jnp.bfloat16),  # feats
-                pltpu.VMEM((K * h if input_injection else 8, lanes), jnp.bfloat16),
+                pltpu.VMEM((C * h if input_injection else 8, lanes), jnp.bfloat16),
                 pltpu.VMEM((C * h, lanes), jnp.bfloat16),  # var-relation means
                 pltpu.VMEM((st.R * h, lanes), jnp.bfloat16),  # check-relation means
+                pltpu.VMEM(((2 if input_injection else 1) * C * h, lanes),
+                           jnp.float32),  # per-column first-layer precompute
+                pltpu.VMEM((st.R * h, lanes), jnp.float32),  # per-row precompute
             ],
             compiler_params=_COMPILER_PARAMS,
             interpret=interpret,

@@ -39,13 +39,18 @@ def main() -> None:
     ap.add_argument("--bits-per-point", type=float, default=1e9)
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--chunk", type=int, default=16, help="MC trials per dispatch")
-    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--iters", type=int, default=5,
+                    help="shared iteration budget for ms/oms/corrected")
     ap.add_argument("--snrs", default="0,1,2,3,4")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--decoders", default="ms,oms,corrected",
+                    help="comma list of ms,oms,corrected,bp")
+    ap.add_argument("--bp-iters", type=int, default=50)
     ap.add_argument("--corrected-ckpt", default="results/corrected_gnn_nr_2_0_4.msgpack")
     ap.add_argument("--oms-ckpt", default="results/oms_per_iter_nr_2_0_4.msgpack")
     ap.add_argument("--out", default="results/nr_2_0_4_flagship_highprecision.json")
     args = ap.parse_args()
+    which = [d.strip() for d in args.decoders.split(",") if d.strip()]
 
     from ldpc_tpu.codes import (
         encoder_from_H,
@@ -71,32 +76,44 @@ def main() -> None:
 
     decoders: dict[str, callable] = {}
 
-    ms = make_fused_minsum(qc, T, 0.75, track_convergence=False)
-    decoders[f"Min-Sum ({T} iters)"] = lambda llr: ms(llr)[0]
+    if "ms" in which:
+        ms = make_fused_minsum(qc, T, 0.75, track_convergence=False)
+        decoders[f"Min-Sum ({T} iters)"] = lambda llr: ms(llr)[0]
 
-    oms_model = NeuralMinSumDecoder(
-        num_iterations=T, depth_L=2, weight_sharing="edge", learnable_alpha=True,
-        learnable_offset=True, per_iteration=True, loss_mode="mean",
-    )
-    oms_params = load_params(
-        args.oms_ckpt, oms_model.init(jax.random.PRNGKey(0), dummy, plan)
-    )
-    decoders[f"Offset min-sum {T}it (trained, per-iter)"] = make_fused_neural_minsum(
-        qc, oms_params, T, depth_L=2, per_iteration=True
-    )
+    if "bp" in which:
+        bp = make_fused_minsum(qc, args.bp_iters, 1.0, mode="sumproduct",
+                               track_convergence=False)
+        decoders[f"Belief Propagation ({args.bp_iters} iters)"] = (
+            lambda llr: bp(llr)[0]
+        )
 
-    gnn_model = create_corrected_minsum_gnn_decoder(
-        plan, num_iterations=T, hidden_dim=64, input_injection=True
-    )
-    gnn_params = load_params(
-        args.corrected_ckpt, gnn_model.init(jax.random.PRNGKey(0), dummy, plan)
-    )
-    gnn = make_fused_corrected_gnn_decoder(
-        qc, gnn_params, num_iterations=T, hidden_dim=64, input_injection=True
-    )
-    decoders[f"Corrected GNN {T}it (trained)"] = lambda llr: (gnn(llr) > 0.5).astype(
-        jnp.float32
-    )
+    if "oms" in which:
+        oms_model = NeuralMinSumDecoder(
+            num_iterations=T, depth_L=2, weight_sharing="edge",
+            learnable_alpha=True, learnable_offset=True, per_iteration=True,
+            loss_mode="mean",
+        )
+        oms_params = load_params(
+            args.oms_ckpt, oms_model.init(jax.random.PRNGKey(0), dummy, plan)
+        )
+        decoders[f"Offset min-sum {T}it (trained, per-iter)"] = (
+            make_fused_neural_minsum(qc, oms_params, T, depth_L=2,
+                                     per_iteration=True)
+        )
+
+    if "corrected" in which:
+        gnn_model = create_corrected_minsum_gnn_decoder(
+            plan, num_iterations=T, hidden_dim=64, input_injection=True
+        )
+        gnn_params = load_params(
+            args.corrected_ckpt, gnn_model.init(jax.random.PRNGKey(0), dummy, plan)
+        )
+        gnn = make_fused_corrected_gnn_decoder(
+            qc, gnn_params, num_iterations=T, hidden_dim=64, input_injection=True
+        )
+        decoders[f"Corrected GNN {T}it (trained)"] = lambda llr: (
+            gnn(llr) > 0.5
+        ).astype(jnp.float32)
 
     def make_chunk(decode):
         @jax.jit
