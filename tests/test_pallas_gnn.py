@@ -128,6 +128,23 @@ class TestCorrectedServing:
         assert confident.mean() > 0.5
         assert ((a > 0.5) == (b > 0.5))[confident].all()
 
+    def test_matches_flax_module_z32(self):
+        """Z = 32 (the production NR code's lifting, Bt = 4 lane packing) —
+        guards the layout the Z=32 flagship serving path runs on."""
+        from ldpc_tpu.ops.pallas_gnn import make_fused_corrected_gnn_decoder
+
+        qc, plan, n, model, llr = self._setup(Z=32, iters=2, h=16)
+        params = _trained_like_params(model, llr, plan, seed=11)
+        soft_ref, _ = model.apply(params, llr, plan)
+        fused = make_fused_corrected_gnn_decoder(
+            qc, params, num_iterations=2, hidden_dim=16, interpret=True,
+        )
+        a, b = np.asarray(fused(llr)), np.asarray(soft_ref)
+        np.testing.assert_allclose(a, b, atol=3e-2)
+        confident = np.abs(b - 0.5) > 0.05
+        assert confident.mean() > 0.5
+        assert ((a > 0.5) == (b > 0.5))[confident].all()
+
 
 def test_batch_padding():
     qc = qc_layout(get_base_graph("toy_4x8"), 4)  # Bt = 32
