@@ -37,6 +37,9 @@ def load_params(path: str, template):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--bits-per-point", type=float, default=1e9)
+    ap.add_argument("--code", default="nr_2_0_4")
+    ap.add_argument("--Z", type=int, default=4)
+    ap.add_argument("--hidden", type=int, default=64)
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--chunk", type=int, default=16, help="MC trials per dispatch")
     ap.add_argument("--iters", type=int, default=5,
@@ -66,11 +69,11 @@ def main() -> None:
     from ldpc_tpu.ops.pallas_neural import make_fused_neural_minsum
     from ldpc_tpu.utils import qpsk_awgn_llr
 
-    bg = get_base_graph("nr_2_0_4")
-    qc = qc_layout(bg, 4)
+    bg = get_base_graph(args.code)
+    qc = qc_layout(bg, args.Z)
     plan = qc_msg.make_plan(qc)
     n = qc.num_vars
-    enc = encoder_from_H(expand_base_matrix(bg, 4))
+    enc = encoder_from_H(expand_base_matrix(bg, args.Z))
     B, T = args.batch, args.iters
     dummy = jnp.zeros((2, n))
 
@@ -103,13 +106,14 @@ def main() -> None:
 
     if "corrected" in which:
         gnn_model = create_corrected_minsum_gnn_decoder(
-            plan, num_iterations=T, hidden_dim=64, input_injection=True
+            plan, num_iterations=T, hidden_dim=args.hidden, input_injection=True
         )
         gnn_params = load_params(
             args.corrected_ckpt, gnn_model.init(jax.random.PRNGKey(0), dummy, plan)
         )
         gnn = make_fused_corrected_gnn_decoder(
-            qc, gnn_params, num_iterations=T, hidden_dim=64, input_injection=True
+            qc, gnn_params, num_iterations=T, hidden_dim=args.hidden,
+            input_injection=True,
         )
         decoders[f"Corrected GNN {T}it (trained)"] = lambda llr: (
             gnn(llr) > 0.5
@@ -142,7 +146,7 @@ def main() -> None:
           f"= {bits_pp:.3g} bits/point, {len(snrs)} points")
 
     results = {
-        "code": "nr_2_0_4", "Z": 4, "iterations": T, "modulation": "qpsk",
+        "code": args.code, "Z": args.Z, "iterations": T, "modulation": "qpsk",
         "data": "random_codewords", "bits_per_point": bits_pp, "snr": snrs,
         "decoders": {},
     }

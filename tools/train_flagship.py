@@ -64,6 +64,10 @@ def main() -> None:
                     help="global-norm gradient clip (0 = off); recommended "
                          "for deep (iters >= 10) corrected models")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--init-from", default=None,
+                    help="warm-start params from a saved model .msgpack "
+                         "(fresh optimizer state; used when only final "
+                         "weights, not a full state checkpoint, exist)")
     ap.add_argument("--tag", default=None, help="artifact name stem (default: model_code)")
     ap.add_argument("--out-dir", default="results")
     args = ap.parse_args()
@@ -99,6 +103,10 @@ def main() -> None:
     if state_path.exists():
         trainer.load_state(state_path)
         print(f"resumed from {state_path} at step {trainer.step}", flush=True)
+    elif args.init_from:
+        trainer.load_model(args.init_from)
+        print(f"warm-started params from {args.init_from} "
+              f"(fresh optimizer, step 0)", flush=True)
 
     t0 = time.time()
     last = [trainer.step, t0]
