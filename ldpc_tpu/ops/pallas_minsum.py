@@ -379,13 +379,21 @@ def pick_zlane_batch_tile(qc: QCLayout) -> int:
 
 
 def _roll_lanes(x: Array, s: int, Z: int) -> Array:
-    """Roll the first Z lanes of (Bt, Z) down by s: out[:, i] = x[:, (i-s)%Z]."""
+    """Roll the first Z lanes down by s: out[:, i] = x[:, (i-s)%Z] for i < Z.
+
+    Lanes beyond Z (zero padding in the Z%8 layouts) pass through unchanged —
+    a plain full-width concat roll would splice the padding into the cyclic
+    group when x is wider than Z.
+    """
     s = s % Z
     if s == 0:
         return x
-    if Z % 128 == 0:
+    if x.shape[1] == Z and Z % 128 == 0:
         return pltpu.roll(x, s, 1)
-    return jnp.concatenate([x[:, Z - s :], x[:, : Z - s]], axis=1)
+    head = jnp.concatenate([x[:, Z - s : Z], x[:, : Z - s]], axis=1)
+    if x.shape[1] > Z:
+        head = jnp.concatenate([head, x[:, Z:]], axis=1)
+    return head
 
 
 def _kernel_zlane(llr_ref, bits_ref, conv_ref, c2v, beliefs, frozen, conv_buf, *,

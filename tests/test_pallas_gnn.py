@@ -128,6 +128,57 @@ class TestCorrectedServing:
         assert confident.mean() > 0.5
         assert ((a > 0.5) == (b > 0.5))[confident].all()
 
+    def test_early_exit_zero_init_matches_minsum_early_exit(self):
+        """Zero-init corrections + early_exit: identical hard decisions to
+        the fused min-sum kernel with the same alpha and freezing rule."""
+        from ldpc_tpu.ops.pallas_gnn import make_fused_corrected_gnn_decoder
+        from ldpc_tpu.ops.pallas_minsum import make_fused_minsum
+
+        qc, plan, n, model, _ = self._setup(iters=8)
+        llr = bpsk_awgn_llr(jax.random.PRNGKey(7), jnp.zeros((8, n)), 2.0)
+        params = model.init(jax.random.PRNGKey(8), llr, plan)
+        fused = make_fused_corrected_gnn_decoder(
+            qc, params, num_iterations=8, hidden_dim=16,
+            early_exit=True, interpret=True,
+        )
+        ms = make_fused_minsum(qc, 8, 0.8, early_exit=True, interpret=True)
+        got = np.asarray(fused(llr)) > 0.5
+        want = np.asarray(ms(llr)[0]) > 0.5
+        np.testing.assert_array_equal(got, want)
+
+    def test_early_exit_agrees_at_high_snr(self):
+        """Trained-like params at high SNR: every frame converges, and the
+        early-exit decisions match the fixed-T kernel's decisions."""
+        from ldpc_tpu.ops.pallas_gnn import make_fused_corrected_gnn_decoder
+
+        qc, plan, n, model, _ = self._setup(iters=3)
+        llr = bpsk_awgn_llr(jax.random.PRNGKey(12), jnp.zeros((8, n)), 6.0)
+        params = _trained_like_params(model, llr, plan, seed=13)
+        kw = dict(num_iterations=3, hidden_dim=16, interpret=True)
+        fixed = make_fused_corrected_gnn_decoder(qc, params, **kw)
+        early = make_fused_corrected_gnn_decoder(qc, params, early_exit=True, **kw)
+        np.testing.assert_array_equal(
+            np.asarray(early(llr)) > 0.5, np.asarray(fixed(llr)) > 0.5
+        )
+
+    def test_matches_flax_module_z24(self):
+        """Z = 24: the Bt = 1 padded-lane layout (lanes = 128 > Z).  Regression
+        for the _roll_lanes padding splice bug (padding lanes must pass
+        through the circulant rotation, not enter the cyclic group)."""
+        from ldpc_tpu.ops.pallas_gnn import make_fused_corrected_gnn_decoder
+
+        qc, plan, n, model, llr = self._setup(Z=24, iters=2, h=16)
+        params = _trained_like_params(model, llr, plan, seed=21)
+        soft_ref, _ = model.apply(params, llr, plan)
+        fused = make_fused_corrected_gnn_decoder(
+            qc, params, num_iterations=2, hidden_dim=16, interpret=True,
+        )
+        a, b = np.asarray(fused(llr)), np.asarray(soft_ref)
+        np.testing.assert_allclose(a, b, atol=3e-2)
+        confident = np.abs(b - 0.5) > 0.05
+        assert confident.mean() > 0.5
+        assert ((a > 0.5) == (b > 0.5))[confident].all()
+
     def test_matches_flax_module_z32(self):
         """Z = 32 (the production NR code's lifting, Bt = 4 lane packing) —
         guards the layout the Z=32 flagship serving path runs on."""
