@@ -94,6 +94,44 @@ def main() -> None:
     dt_gnn, _ = time_fn(lambda i: gnn_pipe(params, jax.random.PRNGKey(i), GNN_BATCH), reps=5)
     gnn_bps = GNN_BATCH * n / dt_gnn
 
+    # --- flagship corrected GNN (trained ckpt, if present) -----------------
+    corrected_bps = None
+    if on_tpu:
+        from pathlib import Path
+
+        ckpt = Path("results/corrected_gnn_nr_2_0_4.msgpack")
+        if ckpt.exists():
+            from flax import serialization
+
+            from ldpc_tpu.codes import get_base_graph as _gbg
+            from ldpc_tpu.models.message_gnn import (
+                create_corrected_minsum_gnn_decoder,
+            )
+            from ldpc_tpu.ops.pallas_gnn import make_fused_corrected_gnn_decoder
+
+            qc4 = qc_layout(_gbg("nr_2_0_4"), 4)
+            plan4 = qc_msg.make_plan(qc4)
+            n4 = plan4.C * plan4.Z
+            m4 = create_corrected_minsum_gnn_decoder(
+                plan4, num_iterations=5, hidden_dim=64, input_injection=True
+            )
+            payload = serialization.msgpack_restore(ckpt.read_bytes())
+            p4 = serialization.from_state_dict(
+                m4.init(jax.random.PRNGKey(0), jnp.zeros((2, n4)), plan4),
+                payload["params"],
+            )
+            corr = make_fused_corrected_gnn_decoder(
+                qc4, p4, num_iterations=5, hidden_dim=64, early_exit=True
+            )
+
+            @jax.jit
+            def corr_pipe(key):
+                llr = bpsk_awgn_llr(key, jnp.zeros((4096, n4)), 3.0)
+                return (corr(llr) > 0.5).astype(jnp.float32).sum()
+
+            dt_c, _ = time_fn(lambda i: corr_pipe(jax.random.PRNGKey(i)), reps=5)
+            corrected_bps = 4096 * n4 / dt_c
+
     # --- large-Z (Z=384, 5G maximum) via the Z-in-lanes kernel -------------
     zlane_bps = None
     if on_tpu:
@@ -131,6 +169,9 @@ def main() -> None:
                     "msg_gnn_bits_per_s": round(gnn_bps, 1),
                     "msg_gnn_kernel": "pallas_fused" if gnn_soft is not None else "xla",
                     "z384_zlane_bits_per_s": round(zlane_bps, 1) if zlane_bps else None,
+                    "corrected_gnn_early_exit_bits_per_s": (
+                        round(corrected_bps, 1) if corrected_bps else None
+                    ),
                     "msg_gnn_hidden": GNN_HIDDEN,
                     "msg_gnn_batch": GNN_BATCH,
                     "baseline_bits_per_s": REF_BITS_PER_S,

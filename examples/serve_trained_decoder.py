@@ -28,13 +28,22 @@ def main() -> None:
     ap.add_argument("--checkpoint", default="results/standard_nr_2_0_4.msgpack")
     ap.add_argument("--model", default="neural_minsum",
                     choices=["neural_minsum", "corrected_gnn", "message_gnn"])
+    ap.add_argument("--code", default="nr_2_0_4")
+    ap.add_argument("--Z", type=int, default=4)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--hidden", type=int, default=64)
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--snr", type=float, default=0.0)
+    ap.add_argument("--early-exit", action="store_true",
+                    help="corrected_gnn only: per-tile syndrome early exit")
+    ap.add_argument("--zero-codewords", action="store_true",
+                    help="evaluate on the all-zero codeword (misleading for "
+                         "the GNN family, which is not sign-symmetric; the "
+                         "default GF(2)-encoded random codewords are the "
+                         "honest protocol)")
     args = ap.parse_args()
 
-    qc = qc_layout(get_base_graph("nr_2_0_4"), 4)
+    qc = qc_layout(get_base_graph(args.code), args.Z)
     plan = qc_msg.make_plan(qc)
     n = plan.C * plan.Z
 
@@ -75,9 +84,10 @@ def main() -> None:
 
         soft_fn = make_fused_corrected_gnn_decoder(
             qc, tr.params, num_iterations=args.iters, hidden_dim=args.hidden,
-            input_injection=True)
+            input_injection=True, early_exit=args.early_exit)
         decode = lambda llr: (soft_fn(llr) > 0.5).astype(jnp.float32)
-        path = "fused corrected-GNN kernel"
+        path = "fused corrected-GNN kernel" + (
+            " (early exit)" if args.early_exit else "")
     else:
         from ldpc_tpu.ops.pallas_gnn import make_fused_gnn_decoder
 
@@ -87,8 +97,17 @@ def main() -> None:
         decode = lambda llr: (soft_fn(llr) > 0.5).astype(jnp.float32)
         path = "fused message-GNN kernel"
 
-    bits = jnp.zeros((args.batch, n))
-    llr = qpsk_awgn_llr(jax.random.PRNGKey(0), bits, args.snr)
+    if args.zero_codewords:
+        make_bits = lambda key: jnp.zeros((args.batch, n))
+    else:
+        from ldpc_tpu.codes import encoder_from_H, expand_base_matrix
+
+        enc = encoder_from_H(expand_base_matrix(get_base_graph(args.code), args.Z))
+        make_bits = lambda key: enc.random_codewords(key, args.batch)
+
+    k0, k1 = jax.random.split(jax.random.PRNGKey(0))
+    bits = make_bits(k0)
+    llr = qpsk_awgn_llr(k1, bits, args.snr)
     hard = decode(llr)
     ber, fer = compute_ber_fer(bits, hard)
     print(f"{path}: BER {float(ber):.3e}  FER {float(fer):.3f} at {args.snr} dB")
@@ -96,7 +115,8 @@ def main() -> None:
     # steady-state throughput (fresh keys; sync via value fetch)
     @jax.jit
     def pipe(key):
-        return decode(qpsk_awgn_llr(key, bits, args.snr)).sum()
+        kb, kc = jax.random.split(key)
+        return decode(qpsk_awgn_llr(kc, make_bits(kb), args.snr)).sum()
 
     float(pipe(jax.random.PRNGKey(1)))
     t0 = time.time()

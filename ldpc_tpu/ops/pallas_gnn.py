@@ -45,7 +45,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ldpc_tpu.codes.edge_layout import QCLayout
-from ldpc_tpu.ops.pallas_minsum import _VMEM_BUDGET, _roll_lanes, _structure
+from ldpc_tpu.ops.pallas_minsum import (
+    _VMEM_BUDGET,
+    _roll_lanes,
+    _run_iterations,
+    _structure,
+)
 
 Array = jax.Array
 
@@ -346,8 +351,9 @@ _BIG = 1e9
 def _corrected_kernel(llr_ref, w1v_ref, w2v_ref, w1c_ref, w2c_ref, b1v_ref,
                       b1c_ref, b2v_ref, b2c_ref, emb_ref, proj_ref, soft_ref,
                       v2c, c2v, edge_llr, feats, llr_feats, var_mean, row_mean,
-                      pre_col, pre_row, colsum, *, st, h: int, T: int, Bt: int,
-                      lanes: int, inject: bool, w_ch: float, alpha: float):
+                      pre_col, pre_row, colsum, frozen, conv_buf, *, st, h: int,
+                      T: int, Bt: int, lanes: int, inject: bool, w_ch: float,
+                      alpha: float, early_exit: bool = False):
     Z, K, C, R = st.Z, st.K, st.C, st.R
     packed = Bt > 1
     f32 = jnp.float32
@@ -388,6 +394,10 @@ def _corrected_kernel(llr_ref, w1v_ref, w2v_ref, w1c_ref, w2c_ref, b1v_ref,
 
     inv_dc = [1.0 / max(len(st.col_members[c]), 1) for c in range(C)]
     inv_dr = [1.0 / max(len(st.row_members[r]), 1) for r in range(R)]
+
+    if early_exit:
+        frozen[:] = jnp.zeros_like(frozen)
+        conv_buf[:] = jnp.zeros_like(conv_buf)
 
     def gnn_correction(idx, msgs, out_msgs):
         """out_msgs[k] += proj(GNNLayer_idx(embed(msgs)))  for every edge."""
@@ -483,17 +493,58 @@ def _corrected_kernel(llr_ref, w1v_ref, w2v_ref, w1c_ref, w2c_ref, b1v_ref,
             loo = colsum[st.cols[k] : st.cols[k] + 1, :] - c2v[k : k + 1, :]
             v2c[k : k + 1, :] = loo + w_ch * edge_llr[k : k + 1, :]
         gnn_correction(2 * t + 1, c2v, v2c)
+
+        # ---- syndrome tracking + first-valid freezing (early exit) --------
+        # Same rule as the fused min-sum kernel: decisions are recorded the
+        # first iteration a frame's syndrome is valid; the tile's while_loop
+        # stops once every frame froze.  Beliefs reuse the colsum scratch
+        # (still the fresh c2v column sums — gnn_correction above only
+        # touched v2c).
+        if early_exit:
+            bits_now = [
+                jnp.where(llr_ref[c : c + 1, :] + colsum[c : c + 1, :] < 0.0,
+                          1.0, 0.0)
+                for c in range(C)
+            ]
+            viol = jnp.zeros((1, lanes), f32)
+            for r in range(R):
+                parity = jnp.zeros((1, lanes), f32)
+                for k in st.row_members[r]:
+                    parity = parity + roll(bits_now[st.cols[k]], -st.shifts[k])
+                parity = parity - 2.0 * jnp.floor(parity * 0.5)  # mod 2
+                viol = viol + parity
+            # log2(Z) lane-rotation tree: every lane accumulates its frame's
+            # total violation count (lane = z * Bt + b, rotations by
+            # Bt * 2^i stay within the frame's z-group; needs lanes == Z*Bt
+            # and Z a power of two — enforced by the factory).
+            s = Bt
+            while s < Z * Bt:
+                viol = viol + pltpu.roll(viol, s, 1)
+                s *= 2
+            ok = viol == 0.0
+            newly = jnp.logical_and(ok, conv_buf[0:1, :] == 0.0)
+            for c in range(C):
+                frozen[c : c + 1, :] = jnp.where(newly, bits_now[c],
+                                                 frozen[c : c + 1, :])
+            conv_buf[0:1, :] = jnp.where(newly, jnp.float32(t) + 1.0,
+                                         conv_buf[0:1, :])
         return 0
 
-    jax.lax.fori_loop(0, T, iteration, 0, unroll=False)
+    _run_iterations(iteration, T, early_exit,
+                    lambda: jnp.min(conv_buf[0:1, :]) > 0.0)
 
     # ---- output: llr + colsum(final c2v) -> soft bits ----------------------
+    if early_exit:
+        conv = conv_buf[0:1, :] > 0.0
     for c in range(C):
         acc = jnp.zeros((1, lanes), f32)
         for k in st.col_members[c]:
             acc = acc + c2v[k : k + 1, :]
         combined = llr_ref[c : c + 1, :] + acc
-        soft_ref[c : c + 1, :] = 1.0 / (1.0 + jnp.exp(combined))
+        soft = 1.0 / (1.0 + jnp.exp(combined))
+        if early_exit:  # frozen hard decisions emitted as 0/1 probabilities
+            soft = jnp.where(conv, frozen[c : c + 1, :], soft)
+        soft_ref[c : c + 1, :] = soft
 
 
 def make_fused_corrected_gnn_decoder(
@@ -503,6 +554,7 @@ def make_fused_corrected_gnn_decoder(
     hidden_dim: int = 64,
     share_layers: bool = False,
     input_injection: bool = True,
+    early_exit: bool = False,
     interpret: bool = False,
 ):
     """Serving kernel for the flagship corrected decoder: min-sum half-updates
@@ -511,6 +563,15 @@ def make_fused_corrected_gnn_decoder(
     ``params`` from a ``MessageGNNDecoder(var_mode=check_mode="corrected",
     depth_L=0, damping=1.0)`` (see ``create_corrected_minsum_gnn_decoder``).
     Returns ``decode(llr) -> soft bits`` matching ``model.apply``.
+
+    ``early_exit=True``: per-iteration syndrome tracking with first-valid
+    freezing (the fused min-sum kernel's rule) — each batch tile's
+    ``while_loop`` stops once every frame has a valid syndrome, and frozen
+    frames emit their recorded decisions as 0/1 probabilities.  This is
+    genie-free syndrome stopping, a *documented deviation* from the
+    fixed-``T`` module semantics (``model.apply`` never freezes): outputs
+    can differ on frames that reach a valid codeword and later drift.
+    Requires the packed lane layout with a power-of-two Z (Z | 128).
     """
     st = _GNNStructure(qc)
     Z, C, K, h = st.Z, st.C, st.K, hidden_dim
@@ -524,6 +585,11 @@ def make_fused_corrected_gnn_decoder(
         Bt, lanes = 1, -(-Z // 128) * 128
     else:
         raise ValueError(f"corrected GNN kernel requires Z % 8 == 0 or Z | 128, got Z={Z}")
+    if early_exit and (lanes != Z * Bt or Z & (Z - 1)):
+        raise ValueError(
+            f"early_exit needs the packed lane layout with power-of-two Z "
+            f"(Z | 128); got Z={Z}"
+        )
     need = gnn_vmem_bytes(qc, h, lanes, input_injection) + 3 * K * lanes * 4
     if need > _VMEM_BUDGET:
         raise ValueError(
@@ -565,6 +631,7 @@ def make_fused_corrected_gnn_decoder(
     kernel = functools.partial(
         _corrected_kernel, st=st, h=h, T=T, Bt=Bt, lanes=lanes,
         inject=input_injection, w_ch=w["w_ch"], alpha=w["alpha"],
+        early_exit=early_exit,
     )
     vm = pltpu.VMEM
     weights = (w1v, w2v, w1c, w2c, b1v, b1c, b2v, b2c, emb, proj)
@@ -608,6 +675,8 @@ def make_fused_corrected_gnn_decoder(
                            jnp.float32),  # per-column first-layer precompute
                 pltpu.VMEM((st.R * h, lanes), jnp.float32),  # per-row precompute
                 pltpu.VMEM((C, lanes), jnp.float32),  # f32 colsum (exact min-sum)
+                pltpu.VMEM((C, lanes), jnp.float32),  # frozen bits (early exit)
+                pltpu.VMEM((8, lanes), jnp.float32),  # conv iter (early exit)
             ],
             compiler_params=_COMPILER_PARAMS,
             interpret=interpret,

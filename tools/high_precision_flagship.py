@@ -48,6 +48,8 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--decoders", default="ms,oms,corrected",
                     help="comma list of ms,oms,corrected,bp")
+    ap.add_argument("--early-exit", action="store_true",
+                    help="corrected decoder: syndrome early exit + freezing")
     ap.add_argument("--bp-iters", type=int, default=50)
     ap.add_argument("--corrected-ckpt", default="results/corrected_gnn_nr_2_0_4.msgpack")
     ap.add_argument("--oms-ckpt", default="results/oms_per_iter_nr_2_0_4.msgpack")
@@ -113,9 +115,10 @@ def main() -> None:
         )
         gnn = make_fused_corrected_gnn_decoder(
             qc, gnn_params, num_iterations=T, hidden_dim=args.hidden,
-            input_injection=True,
+            input_injection=True, early_exit=args.early_exit,
         )
-        decoders[f"Corrected GNN {T}it (trained)"] = lambda llr: (
+        tag = " early-exit" if args.early_exit else ""
+        decoders[f"Corrected GNN {T}it (trained){tag}"] = lambda llr: (
             gnn(llr) > 0.5
         ).astype(jnp.float32)
 
