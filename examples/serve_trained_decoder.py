@@ -123,7 +123,9 @@ def main() -> None:
     outs = [pipe(jax.random.PRNGKey(10 + i)) for i in range(10)]
     _ = float(outs[-1])
     dt = (time.time() - t0) / 10
-    print(f"throughput: {args.batch * n / dt / 1e9:.2f} Gbit/s")
+    bps = args.batch * n / dt
+    unit = f"{bps / 1e9:.2f} Gbit/s" if bps >= 1e9 else f"{bps / 1e6:.1f} Mbit/s"
+    print(f"throughput: {unit}")
 
 
 if __name__ == "__main__":
