@@ -128,13 +128,15 @@ class TestCorrectedServing:
         assert confident.mean() > 0.5
         assert ((a > 0.5) == (b > 0.5))[confident].all()
 
-    def test_early_exit_zero_init_matches_minsum_early_exit(self):
+    @pytest.mark.parametrize("Z", [4, 32])
+    def test_early_exit_zero_init_matches_minsum_early_exit(self, Z):
         """Zero-init corrections + early_exit: identical hard decisions to
-        the fused min-sum kernel with the same alpha and freezing rule."""
+        the fused min-sum kernel with the same alpha and freezing rule.
+        Z=32 exercises the Bt=4 packing (the production code's layout)."""
         from ldpc_tpu.ops.pallas_gnn import make_fused_corrected_gnn_decoder
         from ldpc_tpu.ops.pallas_minsum import make_fused_minsum
 
-        qc, plan, n, model, _ = self._setup(iters=8)
+        qc, plan, n, model, _ = self._setup(Z=Z, iters=8)
         llr = bpsk_awgn_llr(jax.random.PRNGKey(7), jnp.zeros((8, n)), 2.0)
         params = model.init(jax.random.PRNGKey(8), llr, plan)
         fused = make_fused_corrected_gnn_decoder(
