@@ -350,10 +350,14 @@ _BIG = 1e9
 
 def _corrected_kernel(llr_ref, w1v_ref, w2v_ref, w1c_ref, w2c_ref, b1v_ref,
                       b1c_ref, b2v_ref, b2c_ref, emb_ref, proj_ref, soft_ref,
-                      v2c, c2v, edge_llr, feats, llr_feats, var_mean, row_mean,
-                      pre_col, pre_row, colsum, frozen, conv_buf, *, st, h: int,
+                      *rest, st, h: int,
                       T: int, Bt: int, lanes: int, inject: bool, w_ch: float,
-                      alpha: float, early_exit: bool = False):
+                      alpha: float, early_exit: bool = False,
+                      conv_out: bool = False):
+    if conv_out:  # optional second output: per-frame convergence iteration
+        conv_ref, *rest = rest
+    (v2c, c2v, edge_llr, feats, llr_feats, var_mean, row_mean,
+     pre_col, pre_row, colsum, frozen, conv_buf) = rest
     Z, K, C, R = st.Z, st.K, st.C, st.R
     packed = Bt > 1
     f32 = jnp.float32
@@ -545,6 +549,9 @@ def _corrected_kernel(llr_ref, w1v_ref, w2v_ref, w1c_ref, w2c_ref, b1v_ref,
         if early_exit:  # frozen hard decisions emitted as 0/1 probabilities
             soft = jnp.where(conv, frozen[c : c + 1, :], soft)
         soft_ref[c : c + 1, :] = soft
+    if conv_out:
+        it = jnp.where(conv, conv_buf[0:1, :], jnp.float32(T))
+        conv_ref[:] = jnp.broadcast_to(it, conv_ref.shape)
 
 
 def make_fused_corrected_gnn_decoder(
@@ -555,6 +562,7 @@ def make_fused_corrected_gnn_decoder(
     share_layers: bool = False,
     input_injection: bool = True,
     early_exit: bool = False,
+    return_iterations: bool = False,
     interpret: bool = False,
 ):
     """Serving kernel for the flagship corrected decoder: min-sum half-updates
@@ -572,6 +580,11 @@ def make_fused_corrected_gnn_decoder(
     fixed-``T`` module semantics (``model.apply`` never freezes): outputs
     can differ on frames that reach a valid codeword and later drift.
     Requires the packed lane layout with a power-of-two Z (Z | 128).
+
+    ``return_iterations=True`` (requires ``early_exit``): ``decode`` returns
+    ``(soft, conv_iter)`` — per-frame first-valid-syndrome iteration
+    (1-based; ``num_iterations`` for frames that never converged), the
+    avg-iterations statistic the classical decoders report.
     """
     st = _GNNStructure(qc)
     Z, C, K, h = st.Z, st.C, st.K, hidden_dim
@@ -590,6 +603,8 @@ def make_fused_corrected_gnn_decoder(
             f"early_exit needs the packed lane layout with power-of-two Z "
             f"(Z | 128); got Z={Z}"
         )
+    if return_iterations and not early_exit:
+        raise ValueError("return_iterations requires early_exit=True")
     need = gnn_vmem_bytes(qc, h, lanes, input_injection) + 3 * K * lanes * 4
     if need > _VMEM_BUDGET:
         raise ValueError(
@@ -631,7 +646,7 @@ def make_fused_corrected_gnn_decoder(
     kernel = functools.partial(
         _corrected_kernel, st=st, h=h, T=T, Bt=Bt, lanes=lanes,
         inject=input_injection, w_ch=w["w_ch"], alpha=w["alpha"],
-        early_exit=early_exit,
+        early_exit=early_exit, conv_out=return_iterations,
     )
     vm = pltpu.VMEM
     weights = (w1v, w2v, w1c, w2c, b1v, b1c, b2v, b2c, emb, proj)
@@ -656,13 +671,20 @@ def make_fused_corrected_gnn_decoder(
         g = jnp.pad(g, ((0, 0), (0, Cp - C), (0, lanes - Z * Bt))).reshape(
             nt * Cp, lanes
         )
-        soft = pl.pallas_call(
+        tile_spec = pl.BlockSpec((Cp, lanes), lambda i: (i, 0), memory_space=vm)
+        out_specs = [tile_spec]
+        out_shape = [jax.ShapeDtypeStruct((nt * Cp, lanes), jnp.float32)]
+        if return_iterations:
+            out_specs.append(
+                pl.BlockSpec((8, lanes), lambda i: (i, 0), memory_space=vm)
+            )
+            out_shape.append(jax.ShapeDtypeStruct((nt * 8, lanes), jnp.float32))
+        out = pl.pallas_call(
             kernel,
             grid=(nt,),
-            in_specs=[pl.BlockSpec((Cp, lanes), lambda i: (i, 0), memory_space=vm)]
-            + wspecs,
-            out_specs=pl.BlockSpec((Cp, lanes), lambda i: (i, 0), memory_space=vm),
-            out_shape=jax.ShapeDtypeStruct((nt * Cp, lanes), jnp.float32),
+            in_specs=[tile_spec] + wspecs,
+            out_specs=out_specs if return_iterations else out_specs[0],
+            out_shape=out_shape if return_iterations else out_shape[0],
             scratch_shapes=[
                 pltpu.VMEM((K, lanes), jnp.float32),  # v2c
                 pltpu.VMEM((K, lanes), jnp.float32),  # c2v
@@ -681,12 +703,17 @@ def make_fused_corrected_gnn_decoder(
             compiler_params=_COMPILER_PARAMS,
             interpret=interpret,
         )(g, *weights)
+        soft = out[0] if return_iterations else out
         soft = (
             soft.reshape(nt, Cp, lanes)[:, :C, : Z * Bt]
             .reshape(nt, C, Z, Bt)
             .transpose(0, 3, 1, 2)
             .reshape(Bp, n)
         )
+        if return_iterations:
+            # all Z lanes of a frame hold the same value; take z = 0
+            conv = out[1].reshape(nt, 8, lanes)[:, 0, :Bt].reshape(Bp)
+            return soft[:B], conv[:B]
         return soft[:B]
 
     return decode

@@ -153,6 +153,11 @@ def make_fused_neural_minsum(
             # ---- neural variable update (skipped after the last check) ----
             @pl.when(t < T - 1)
             def _():
+                # fifo[0] aliases q, which at t = 0 still holds the edge-LLR
+                # seed, not a previous variable output — the model's FIFO
+                # starts at zeros (neural_min_sum.py `fifo0`), so the t = 0
+                # taps and the t = 0 shift must see zeros, not the seed.
+                live = jnp.where(t > 0, 1.0, 0.0)
                 for c in range(C):
                     colsum = jnp.zeros((Z, Bt), jnp.float32)
                     for k in st.col_members[c]:
@@ -167,9 +172,9 @@ def make_fused_neural_minsum(
                             w_term = w_ref[pl.ds(t * Zp, Z), k : k + 1]  # (Z, 1)
                         else:
                             w_term = w_ref[0:Z, k : k + 1]
-                        q_new = (colsum - c2v[ez(k)]) + w_term * llr_ref[ez(c)] + res
+                        q_new = (colsum - c2v[ez(k)]) + w_term * llr_ref[ez(c)] + live * res
                         for l in range(len(fifo) - 1, 0, -1):
-                            fifo[l][ez(k)] = fifo[l - 1][ez(k)]
+                            fifo[l][ez(k)] = live * fifo[l - 1][ez(k)]
                         q[ez(k)] = q_new
 
             return 0

@@ -148,6 +148,25 @@ class TestCorrectedServing:
         want = np.asarray(ms(llr)[0]) > 0.5
         np.testing.assert_array_equal(got, want)
 
+    def test_return_iterations_matches_minsum_conv(self):
+        """Zero-init + return_iterations: per-frame convergence iterations
+        equal the fused min-sum kernel's conv output."""
+        from ldpc_tpu.ops.pallas_gnn import make_fused_corrected_gnn_decoder
+        from ldpc_tpu.ops.pallas_minsum import make_fused_minsum
+
+        qc, plan, n, model, _ = self._setup(iters=8)
+        llr = bpsk_awgn_llr(jax.random.PRNGKey(17), jnp.zeros((8, n)), 2.0)
+        params = model.init(jax.random.PRNGKey(18), llr, plan)
+        fused = make_fused_corrected_gnn_decoder(
+            qc, params, num_iterations=8, hidden_dim=16,
+            early_exit=True, return_iterations=True, interpret=True,
+        )
+        ms = make_fused_minsum(qc, 8, 0.8, early_exit=True, interpret=True)
+        soft, conv = fused(llr)
+        bits_ms, conv_ms = ms(llr)
+        np.testing.assert_array_equal(np.asarray(soft) > 0.5, np.asarray(bits_ms) > 0.5)
+        np.testing.assert_array_equal(np.asarray(conv), np.asarray(conv_ms))
+
     def test_early_exit_agrees_at_high_snr(self):
         """Trained-like params at high SNR: every frame converges, and the
         early-exit decisions match the fixed-T kernel's decisions."""

@@ -36,3 +36,25 @@ def test_matches_flax_model(sharing, depth, learn_a, learn_o, per_it):
                                      batch_tile=8, interpret=True, per_iteration=per_it)
     got = fused(llr)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(expect))
+
+
+def test_matches_flax_model_z32():
+    """Z=32 — the production code's lifting, the committed Z=32 OMS results
+    path (per-iteration offset min-sum, edge sharing)."""
+    qc = qc_layout(get_base_graph("toy_4x8"), 32)
+    plan = qc_msg.make_plan(qc)
+    n = plan.C * plan.Z
+    model = NeuralMinSumDecoder(num_iterations=3, depth_L=2, weight_sharing="edge",
+                                learnable_alpha=True, learnable_offset=True,
+                                per_iteration=True)
+    llr = bpsk_awgn_llr(jax.random.PRNGKey(4), jnp.zeros((8, n)), 2.0)
+    key = jax.random.PRNGKey(5)
+    params = model.init(key, llr, plan)
+    params = jax.tree_util.tree_map(
+        lambda x: x + 0.1 * jax.random.normal(key, x.shape), params
+    )
+    expect = model.decode(params, llr, plan)
+    fused = make_fused_neural_minsum(qc, params, num_iterations=3, depth_L=2,
+                                     batch_tile=8, interpret=True, per_iteration=True)
+    got = fused(llr)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(expect))
