@@ -24,7 +24,8 @@ def build_parser() -> argparse.ArgumentParser:
     for f in dataclasses.fields(Config):
         flag = "--" + f.name.replace("_", "-")
         if f.type == "bool" or isinstance(getattr(defaults, f.name), bool):
-            p.add_argument(flag, action="store_true", default=None)
+            # --flag / --no-flag so a config-file `true` can be overridden off
+            p.add_argument(flag, action=argparse.BooleanOptionalAction, default=None)
         else:
             p.add_argument(flag, type=type(getattr(defaults, f.name)), default=None)
     return p
@@ -147,8 +148,12 @@ def cmd_evaluate(cfg: Config) -> None:
     snrs = cfg.eval_snr_range()
     bers, fers = tr.evaluate_snr_range(snrs, cfg.batch_size, cfg.num_trials,
                                        use_encoder=cfg.random_codewords)
+    import jax
+
+    n_params = sum(int(x.size) for x in jax.tree_util.tree_leaves(tr.params))
     results = {"snr_range": snrs,
-               "decoders": {cfg.model_type: {"ber": bers, "fer": fers, "param_count": 0}}}
+               "decoders": {cfg.model_type: {"ber": bers, "fer": fers,
+                                             "param_count": n_params}}}
     out = Path(cfg.results_dir) / "evaluation_results.json"
     out.parent.mkdir(parents=True, exist_ok=True)
     import json
@@ -187,8 +192,9 @@ def cmd_compare(cfg: Config) -> None:
         convention=cfg.convention,
         encoder=encoder,
     )
-    ev.add_belief_propagation(cfg.bp_max_iterations)
-    ev.add_min_sum(cfg.bp_max_iterations, cfg.ms_scaling_factor)
+    if cfg.compare_with_traditional:
+        ev.add_belief_propagation(cfg.bp_max_iterations)
+        ev.add_min_sum(cfg.bp_max_iterations, cfg.ms_scaling_factor)
     model_types = [m for m in cfg.compare_models.split(",") if m] or [cfg.model_type]
     for mt in model_types:
         sub = cfg.replace(model_type=mt)

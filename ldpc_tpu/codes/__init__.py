@@ -3,6 +3,7 @@
 from ldpc_tpu.codes.base_graphs import (  # noqa: F401
     BaseGraph,
     available_base_graphs,
+    base_graph_from_H,
     expand_base_matrix,
     get_base_graph,
     load_base_matrix,

@@ -86,6 +86,29 @@ def get_base_graph(name: str) -> BaseGraph:
     return load_base_matrix(path)
 
 
+def base_graph_from_H(H: np.ndarray, name: str = "from_H") -> BaseGraph:
+    """Wrap an arbitrary dense parity-check matrix as a Z=1 base graph.
+
+    Capability parity with the reference decoders, which accept any dense H
+    (`models/traditional_decoders.py:17-40`, `message_gnn_decoder.py:363
+    TannerToMessageGraph(H)`): at Z=1 each H entry of 1 is a "circulant" of
+    size 1 with shift 0, so ``expand_base_matrix(base_graph_from_H(H), 1)``
+    reproduces H exactly and every decoder in the framework (BP, min-sum,
+    neural min-sum, GNN, message GNN) runs on it through the normal
+    :func:`~ldpc_tpu.codes.edge_layout.qc_layout` path.
+
+    Note the message-type vocabulary collapses at Z=1 (all edges share shift
+    0), so type-shared GNN weights become fully shared — the natural
+    degeneration for a code with no lifting structure.
+    """
+    H = np.asarray(H)
+    if H.ndim != 2:
+        raise ValueError(f"H must be 2-D, got shape {H.shape}")
+    if not np.isin(H, (0, 1)).all():
+        raise ValueError("H must be binary (0/1)")
+    return BaseGraph(name=name, shifts=np.where(H > 0, 0, -1).astype(np.int32))
+
+
 def expand_base_matrix(base: BaseGraph | np.ndarray, Z: int) -> np.ndarray:
     """QC-lift a base graph into a dense binary parity-check matrix H.
 

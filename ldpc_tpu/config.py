@@ -50,7 +50,7 @@ class Config:
     # classical comparison
     bp_max_iterations: int = 50
     ms_scaling_factor: float = 0.75
-    compare_with_traditional: bool = False
+    compare_with_traditional: bool = True  # include BP/min-sum rows in `compare`
     compare_models: str = ""  # comma-separated model types for multi-model compare
     random_codewords: bool = False  # evaluate on encoder-generated codewords
     # parallel

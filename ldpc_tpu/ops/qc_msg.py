@@ -115,6 +115,20 @@ def make_plan(qc: QCLayout) -> QCPlan:
     )
 
 
+def plan_from_H(H) -> QCPlan:
+    """Decode plan for an arbitrary dense binary parity-check matrix.
+
+    One-call capability parity with the reference decoders' ``__init__(H)``
+    (`traditional_decoders.py:17-40`, `message_gnn_decoder.py:363`): wraps H
+    as a Z=1 base graph (each 1 = a size-1 circulant) and builds the normal
+    QC plan, so every decoder in the framework accepts a non-QC code.
+    """
+    from ldpc_tpu.codes.base_graphs import base_graph_from_H
+    from ldpc_tpu.codes.edge_layout import qc_layout
+
+    return make_plan(qc_layout(base_graph_from_H(H), 1))
+
+
 # ---------------------------------------------------------------------------
 # Layout helpers
 # ---------------------------------------------------------------------------

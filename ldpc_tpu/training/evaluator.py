@@ -171,7 +171,7 @@ class ComparativeEvaluator:
         base = jax.random.PRNGKey(self.seed)
         for i, snr in enumerate(self.snr_range):
             tot = cnt = 0.0
-            for t in range(min(self.num_trials, 10)):
+            for t in range(self.num_trials):
                 key = jax.random.fold_in(jax.random.fold_in(base, i), t)
                 bits = jnp.zeros((self.batch_size, n))
                 if self.modulation == "qpsk":

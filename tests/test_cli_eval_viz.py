@@ -134,6 +134,41 @@ class TestMultiModelCompare:
         assert len(res["decoders"]) == 5  # BP + MS + 3 neural
 
 
+class TestBoolFlagOverrides:
+    def test_no_flag_overrides_config_file_on(self, tmp_path, capsys):
+        """A config-file `true` bool must be overridable off from the CLI."""
+        cfg = tmp_path / "cfg.json"
+        cfg.write_text(Config(compare_with_traditional=True).to_json())
+        cli_main([
+            "compare", "--config", str(cfg),
+            "--base-graph", "toy_4x8", "--lifting-factor", "4",
+            "--model-type", "tied", "--no-compare-with-traditional",
+            "--num-trials", "1", "--batch-size", "8",
+            "--snr-min", "4", "--snr-max", "4",
+            "--results-dir", str(tmp_path),
+        ])
+        res = json.loads((tmp_path / "comparison_results.json").read_text())
+        assert set(res["decoders"]) == {"Neural (tied)"}  # no BP / min-sum rows
+
+    def test_paper_style_no_flag_parses(self):
+        from ldpc_tpu.cli import build_parser
+
+        args = build_parser().parse_args(["visualize", "--no-paper-style"])
+        assert args.paper_style is False
+
+
+def test_evaluate_reports_param_count(tmp_path):
+    cli_main([
+        "evaluate", "--base-graph", "toy_4x8", "--lifting-factor", "4",
+        "--model-type", "tied", "--num-trials", "1", "--batch-size", "8",
+        "--snr-min", "4", "--snr-max", "4",
+        "--model-path", str(tmp_path / "none.msgpack"),
+        "--results-dir", str(tmp_path),
+    ])
+    res = json.loads((tmp_path / "evaluation_results.json").read_text())
+    assert res["decoders"]["tied"]["param_count"] > 0
+
+
 def test_notebook_converter(tmp_path):
     import sys
     sys.path.insert(0, "tools")
