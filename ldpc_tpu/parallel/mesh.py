@@ -17,11 +17,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P  # noqa: F401
 
 
 def distributed_init(coordinator_address: str | None = None, **kw) -> None:
-    """Initialize multi-host JAX (no-op if already initialized or single host)."""
+    """Initialize multi-host JAX.
+
+    Idempotent (a second call on an already-initialized runtime is a no-op)
+    but otherwise loud: a real initialization failure (bad coordinator
+    address, mismatched process count, dead peer) propagates instead of
+    silently degrading to single-process.  Exercised for real by
+    tools/multihost_launch.py / tests/test_multiprocess.py.
+    """
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address, **kw)
-    except (RuntimeError, ValueError):
-        pass  # already initialized, or single-process run
+    except RuntimeError as e:
+        if "already initialized" not in str(e).lower():
+            raise
 
 
 def make_mesh(data: int | None = None, model: int = 1, devices=None) -> Mesh:
