@@ -11,7 +11,9 @@ the reference publishes no numbers, BASELINE.md).
 """
 from __future__ import annotations
 
+import contextlib
 import json
+import os
 import time
 from functools import partial
 
@@ -35,6 +37,14 @@ def main() -> None:
     from ldpc_tpu.ops import qc_msg
     from ldpc_tpu.ops.pallas_minsum import make_fused_minsum
     from ldpc_tpu.utils import bpsk_awgn_llr
+    from ldpc_tpu.utils.metrics import REGISTRY, decode_throughput
+    from ldpc_tpu.utils.profiling import trace
+
+    # LDPC_TPU_TRACE=<dir> captures a jax.profiler device trace of the run.
+    trace_dir = os.environ.get("LDPC_TPU_TRACE")
+    _stack = contextlib.ExitStack()
+    if trace_dir:
+        _stack.enter_context(trace(trace_dir))
 
     qc = qc_layout(get_base_graph(CODE), Z)
     plan = qc_msg.make_plan(qc)
@@ -68,7 +78,7 @@ def main() -> None:
     dt_ms, (err_ms, iters_ms) = time_fn(
         lambda i: minsum_pipe(jax.random.PRNGKey(i), MINSUM_BATCH)
     )
-    minsum_bps = MINSUM_BATCH * n / dt_ms
+    minsum_bps = decode_throughput(MINSUM_BATCH, n, dt_ms, name="minsum")
 
     # --- message GNN (fused Pallas serving kernel on TPU; XLA elsewhere) ---
     model = create_message_gnn_decoder(plan, num_iterations=ITERS, hidden_dim=GNN_HIDDEN)
@@ -92,7 +102,7 @@ def main() -> None:
         return (soft > 0.5).astype(jnp.float32).sum()
 
     dt_gnn, _ = time_fn(lambda i: gnn_pipe(params, jax.random.PRNGKey(i), GNN_BATCH), reps=5)
-    gnn_bps = GNN_BATCH * n / dt_gnn
+    gnn_bps = decode_throughput(GNN_BATCH, n, dt_gnn, name="msg_gnn")
 
     # --- flagship corrected GNN (trained ckpt, if present) -----------------
     corrected_bps = None
@@ -130,7 +140,7 @@ def main() -> None:
                 return (corr(llr) > 0.5).astype(jnp.float32).sum()
 
             dt_c, _ = time_fn(lambda i: corr_pipe(jax.random.PRNGKey(i)), reps=5)
-            corrected_bps = 4096 * n4 / dt_c
+            corrected_bps = decode_throughput(4096, n4, dt_c, name="corrected_gnn")
 
     # --- large-Z (Z=384, 5G maximum) via the Z-in-lanes kernel -------------
     zlane_bps = None
@@ -148,8 +158,9 @@ def main() -> None:
             return bits.sum(), conv.astype(jnp.float32).mean()
 
         dt_z, _ = time_fn(lambda i: zlane_pipe(jax.random.PRNGKey(i)), reps=5)
-        zlane_bps = 512 * n384 / dt_z
+        zlane_bps = decode_throughput(512, n384, dt_z, name="z384_zlane")
 
+    _stack.close()  # flush the profiler trace (if enabled) before reporting
     print(
         json.dumps(
             {
@@ -176,6 +187,7 @@ def main() -> None:
                     "msg_gnn_batch": GNN_BATCH,
                     "baseline_bits_per_s": REF_BITS_PER_S,
                     "backend": jax.default_backend(),
+                    "metrics": REGISTRY.snapshot()["gauges"],
                 },
             }
         )

@@ -126,7 +126,6 @@ def cmd_train(cfg: Config) -> None:
         momentum=cfg.momentum,
         weight_decay=cfg.weight_decay,
         validation_interval=cfg.validation_interval,
-        log=print,
         data_mode=cfg.data_mode,
         optimizer=cfg.optimizer,
     )
@@ -208,7 +207,7 @@ def cmd_compare(cfg: Config) -> None:
             # fresh-model fallback, as run_comparison_all.py:88-143
             print(f"no checkpoint at {mt_path} — using fresh {mt} model")
         ev.add_model(f"Neural ({mt})", tr.model, tr.params)
-    ev.evaluate_all(log=print)
+    ev.evaluate_all()
     ev.print_summary()
     out = Path(cfg.results_dir) / "comparison_results.json"
     ev.save_results(out)

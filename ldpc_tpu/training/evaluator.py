@@ -15,6 +15,7 @@ iterations; save/load results; print a text summary.  Differences by design:
 from __future__ import annotations
 
 import json
+import time
 from pathlib import Path
 from typing import Any, Callable
 
@@ -26,6 +27,10 @@ from ldpc_tpu.models.classical import decode_bp, decode_min_sum
 from ldpc_tpu.ops.qc_msg import QCPlan
 from ldpc_tpu.parallel.sharding import mc_sweep
 from ldpc_tpu.utils import channel as ch
+from ldpc_tpu.utils.logging import get_logger
+from ldpc_tpu.utils.metrics import REGISTRY, MetricsRegistry, decode_throughput
+
+_LOG = get_logger("ldpc_tpu.evaluator")
 
 
 class ComparativeEvaluator:
@@ -135,12 +140,19 @@ class ComparativeEvaluator:
 
     # -- evaluation ---------------------------------------------------------
 
-    def evaluate_all(self, log: Callable[[str], None] | None = print) -> dict[str, Any]:
-        """MC-sweep every registered decoder.  Returns and stores results."""
+    def evaluate_all(self, log: Callable[[str], None] | None = _LOG.info,
+                     metrics: MetricsRegistry = REGISTRY) -> dict[str, Any]:
+        """MC-sweep every registered decoder.  Returns and stores results.
+
+        Per-decoder wall time and decoded-bits/s are recorded into
+        ``metrics`` (the process registry by default).
+        """
         out: dict[str, Any] = {"snr_range": self.snr_range, "decoders": {}}
+        n = self.plan.C * self.plan.Z
         for name, spec in self._decoders.items():
             if log:
                 log(f"evaluating {name} ...")
+            t0 = time.time()
             sweep = mc_sweep(
                 spec["decode"],
                 self.plan,
@@ -153,6 +165,9 @@ class ComparativeEvaluator:
                 convention=self.convention,
                 encoder=self.encoder,
             )
+            frames = self.batch_size * self.num_trials * len(self.snr_range)
+            metrics.record(f"eval_{name}_s", time.time() - t0)
+            decode_throughput(frames, n, time.time() - t0, metrics, name=f"eval_{name}")
             entry: dict[str, Any] = {
                 "ber": sweep["ber"],
                 "fer": sweep["fer"],

@@ -11,6 +11,7 @@ reference re-traces per-batch Python channel loops every step).
 from __future__ import annotations
 
 import json
+import time
 from functools import partial
 from pathlib import Path
 from typing import Any, Callable
@@ -23,8 +24,12 @@ from flax import serialization
 
 from ldpc_tpu.ops.qc_msg import QCPlan
 from ldpc_tpu.utils import channel as ch
+from ldpc_tpu.utils.logging import get_logger
+from ldpc_tpu.utils.metrics import REGISTRY, MetricsRegistry
 
 Array = jax.Array
+
+_LOG = get_logger("ldpc_tpu.trainer")
 
 
 class LDPCDecoderTrainer:
@@ -76,10 +81,11 @@ class LDPCDecoderTrainer:
         momentum: float = 0.9,
         weight_decay: float = 1e-4,
         validation_interval: int = 5,
-        log: Callable[[str], None] | None = None,
+        log: Callable[[str], None] | None = _LOG.info,
         data_mode: str = "random_bits",
         optimizer: str = "sgd",
         grad_clip: float = 0.0,
+        metrics: MetricsRegistry = REGISTRY,
     ) -> dict[str, Any]:
         """SNR-mixed training loop (defaults mirror main.py:33-42).
 
@@ -139,6 +145,8 @@ class LDPCDecoderTrainer:
                 epoch_loss += float(loss)
                 nb += 1
             self.train_losses.append(epoch_loss / nb)
+            metrics.record("train_loss", epoch_loss / nb)
+            metrics.count("train_steps", nb)
             if log:
                 log(f"epoch {epoch + 1}/{num_epochs} loss {epoch_loss / nb:.6f}")
             if (epoch + 1) % validation_interval == 0:
@@ -146,6 +154,9 @@ class LDPCDecoderTrainer:
                 self.val_losses.append(vl)
                 self.ber_history.append(ber)
                 self.fer_history.append(fer)
+                metrics.record("val_loss", vl)
+                metrics.gauge("val_ber", ber)
+                metrics.gauge("val_fer", fer)
                 if log:
                     log(f"  val loss {vl:.6f} ber {ber:.6f} fer {fer:.6f}")
         return self.history()
@@ -167,6 +178,7 @@ class LDPCDecoderTrainer:
         warmup_steps: int = 0,
         log: Callable[[str], None] | None = None,
         checkpoint_fn: Callable[[], None] | None = None,
+        metrics: MetricsRegistry = REGISTRY,
     ) -> dict[str, Any]:
         """Large-budget training: ``lax.scan`` fuses ``scan_steps`` optimizer
         steps into one compiled device call.
@@ -246,12 +258,16 @@ class LDPCDecoderTrainer:
         while self.step < num_steps:
             k = min(scan_steps, num_steps - self.step)
             self.data_key, sub = jax.random.split(self.data_key)
+            t0 = time.time()
             self.params, self.opt_state, losses = chunk(
                 self.params, self.opt_state, sub, k
             )
             losses = np.asarray(losses)  # value fetch = real synchronization
             self.train_losses.extend(float(x) for x in losses)
             self.step += k
+            metrics.record("train_loss", float(losses.mean()))
+            metrics.count("train_steps", k)
+            metrics.gauge("train_steps_per_s", k / max(time.time() - t0, 1e-9))
             if log:
                 log(f"step {self.step}/{num_steps} loss {losses.mean():.6f}")
             if checkpoint_fn is not None:
@@ -390,6 +406,40 @@ class LDPCDecoderTrainer:
 
     def save_history_json(self, path: str | Path) -> None:
         Path(path).write_text(json.dumps(self.history(), indent=2))
+
+    # -- orbax-managed checkpoints (retention + step numbering) --------------
+
+    def save_checkpoint(self, mgr) -> None:
+        """Save the full resumable state through a
+        :class:`ldpc_tpu.training.checkpoint.CheckpointManager` (orbax:
+        step-numbered directories, retention of the last N; same payload as
+        :meth:`save_state`)."""
+        mgr.save(
+            self.step,
+            params=self.params,
+            opt_state=serialization.to_state_dict(self.opt_state),
+            history={
+                # orbax rejects zero-size arrays; empty histories are dropped
+                # and restored as [] by load_checkpoint.
+                **{k: np.asarray(v, dtype=np.float64)
+                   for k, v in self.history().items() if len(v)},
+                "step": np.asarray(self.step),
+                "data_key": np.asarray(self.data_key),
+            },
+        )
+
+    def load_checkpoint(self, mgr, step: int | None = None) -> None:
+        """Restore the latest (or a given) step saved by :meth:`save_checkpoint`."""
+        payload = mgr.restore(step)
+        self.params = serialization.from_state_dict(self.params, payload["params"])
+        if self.opt_state is not None and payload.get("opt_state") is not None:
+            self.opt_state = serialization.from_state_dict(self.opt_state, payload["opt_state"])
+        self._pending_opt_state = payload.get("opt_state")
+        hist = payload.get("history", {})
+        self.step = int(hist["step"])
+        self.data_key = jnp.asarray(hist["data_key"], dtype=jnp.uint32)
+        for name in ("train_losses", "val_losses", "ber_history", "fer_history"):
+            setattr(self, name, [float(x) for x in np.asarray(hist.get(name, []))])
 
     # -- plotting (API parity with reference trainer.py:264-335) -----------
 

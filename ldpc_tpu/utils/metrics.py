@@ -71,10 +71,15 @@ REGISTRY = MetricsRegistry()
 
 
 def decode_throughput(num_frames: int, frame_bits: int, seconds: float,
-                      registry: MetricsRegistry = REGISTRY) -> float:
-    """Record and return decoded bits/s (the BASELINE.json headline)."""
+                      registry: MetricsRegistry = REGISTRY,
+                      name: str | None = None) -> float:
+    """Record and return decoded bits/s (the BASELINE.json headline).
+
+    ``name`` namespaces the gauge (e.g. ``minsum`` ->
+    ``minsum_bits_per_s``) so one registry can hold several decoders.
+    """
     bps = num_frames * frame_bits / max(seconds, 1e-12)
-    registry.gauge("decoded_bits_per_s", bps)
+    registry.gauge(f"{name}_bits_per_s" if name else "decoded_bits_per_s", bps)
     registry.count("decoded_frames", num_frames)
     registry.count("decoded_bits", num_frames * frame_bits)
     return bps

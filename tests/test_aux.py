@@ -38,6 +38,11 @@ class TestMetrics:
         assert bps == pytest.approx(100 * 1664 / 0.5)
         assert m.gauges["decoded_bits_per_s"] == bps
 
+    def test_throughput_named(self):
+        m = MetricsRegistry()
+        decode_throughput(10, 32, 0.1, m, name="minsum")
+        assert "minsum_bits_per_s" in m.gauges
+
     def test_dump(self, tmp_path):
         m = MetricsRegistry()
         m.count("x")
@@ -116,3 +121,78 @@ class TestProfiler:
         import pathlib
         files = list(pathlib.Path(d).rglob("*"))
         assert files
+
+
+class TestObservabilityIntegration:
+    """The registry/logger/orbax layer wired into real production paths
+    (trainer, evaluator) — not just unit-tested in isolation."""
+
+    @pytest.fixture(scope="class")
+    def plan(self):
+        return qc_msg.make_plan(qc_layout(get_base_graph("toy_4x8"), 4))
+
+    def test_trainer_train_records_metrics(self, plan):
+        from ldpc_tpu.training import LDPCDecoderTrainer
+
+        m = MetricsRegistry()
+        tr = LDPCDecoderTrainer(make_standard_decoder(num_iterations=2), plan, seed=0)
+        tr.train(num_epochs=2, batch_size=8, learning_rate=0.01, snr_range=[3.0],
+                 validation_interval=2, metrics=m)
+        snap = m.snapshot()
+        assert len(snap["series"]["train_loss"]) == 2
+        assert snap["counters"]["train_steps"] == 2  # 1 snr x 2 epochs
+        assert "val_ber" in snap["gauges"]
+
+    def test_trainer_train_steps_records_metrics(self, plan):
+        from ldpc_tpu.training import LDPCDecoderTrainer
+
+        m = MetricsRegistry()
+        tr = LDPCDecoderTrainer(make_standard_decoder(num_iterations=2), plan, seed=0)
+        tr.train_steps(num_steps=10, batch_size=8, learning_rate=0.01,
+                       snr_range=[2.0, 4.0], data_mode="random_bits",
+                       scan_steps=5, metrics=m)
+        snap = m.snapshot()
+        assert snap["counters"]["train_steps"] == 10
+        assert snap["gauges"]["train_steps_per_s"] > 0
+        assert len(snap["series"]["train_loss"]) == 2  # one per chunk
+
+    def test_evaluator_records_metrics(self, plan):
+        from ldpc_tpu.training.evaluator import ComparativeEvaluator
+
+        m = MetricsRegistry()
+        ev = ComparativeEvaluator(plan, snr_range=[4.0], batch_size=8, num_trials=1)
+        ev.add_min_sum(3)
+        ev.evaluate_all(log=None, metrics=m)
+        snap = m.snapshot()
+        assert "eval_Min-Sum Scaled_bits_per_s" in snap["gauges"]
+        assert len(snap["series"]["eval_Min-Sum Scaled_s"]) == 1
+
+    def test_trainer_orbax_checkpoint_resume(self, plan, tmp_path):
+        """Kill-and-resume through CheckpointManager reproduces the
+        uninterrupted trajectory (the orbax twin of the msgpack
+        save_state/load_state test)."""
+        from ldpc_tpu.training import LDPCDecoderTrainer
+
+        kw = dict(batch_size=8, learning_rate=0.01, snr_range=[3.0],
+                  data_mode="random_bits", scan_steps=5, lr_schedule="constant")
+        model = make_standard_decoder(num_iterations=2)
+
+        ref = LDPCDecoderTrainer(model, plan, seed=7)
+        ref.train_steps(num_steps=20, **kw)
+
+        mgr = CheckpointManager(tmp_path / "orbax", max_to_keep=2)
+        t1 = LDPCDecoderTrainer(model, plan, seed=7)
+        t1.train_steps(num_steps=10, **kw)
+        t1.save_checkpoint(mgr)
+        assert mgr.latest_step() == 10
+
+        t2 = LDPCDecoderTrainer(model, plan, seed=99)  # different seed: all restored
+        t2.load_checkpoint(mgr)
+        assert t2.step == 10
+        t2.train_steps(num_steps=20, **kw)
+        mgr.close()
+
+        assert t2.train_losses == pytest.approx(ref.train_losses)
+        same = jax.tree_util.tree_all(jax.tree_util.tree_map(
+            lambda a, b: bool(jnp.allclose(a, b)), ref.params, t2.params))
+        assert same

@@ -70,6 +70,10 @@ def main() -> None:
                          "weights, not a full state checkpoint, exist)")
     ap.add_argument("--tag", default=None, help="artifact name stem (default: model_code)")
     ap.add_argument("--out-dir", default="results")
+    ap.add_argument("--ckpt-backend", default="msgpack", choices=["msgpack", "orbax"],
+                    help="orbax = step-numbered CheckpointManager directories with "
+                         "retention; msgpack = single-file save_state (default, "
+                         "matches the committed round-1 artifacts)")
     args = ap.parse_args()
 
     import jax
@@ -100,7 +104,19 @@ def main() -> None:
           f"model={args.model} code={args.code} Z={args.Z} iters={args.iters} "
           f"hidden={args.hidden} params={n_params}", flush=True)
 
-    if state_path.exists():
+    ckpt_mgr = None
+    if args.ckpt_backend == "orbax":
+        from ldpc_tpu.training.checkpoint import CheckpointManager
+
+        ckpt_mgr = CheckpointManager(out_dir / f"{tag}_ckpt", max_to_keep=3)
+        if ckpt_mgr.latest_step() is not None:
+            trainer.load_checkpoint(ckpt_mgr)
+            print(f"resumed from orbax step {trainer.step}", flush=True)
+        elif args.init_from:
+            trainer.load_model(args.init_from)
+            print(f"warm-started params from {args.init_from} "
+                  f"(fresh optimizer, step 0)", flush=True)
+    elif state_path.exists():
         trainer.load_state(state_path)
         print(f"resumed from {state_path} at step {trainer.step}", flush=True)
     elif args.init_from:
@@ -112,7 +128,10 @@ def main() -> None:
     last = [trainer.step, t0]
 
     def checkpoint() -> None:
-        trainer.save_state(state_path)
+        if ckpt_mgr is not None:
+            trainer.save_checkpoint(ckpt_mgr)
+        else:
+            trainer.save_state(state_path)
         now = time.time()
         rate = (trainer.step - last[0]) / max(now - last[1], 1e-9)
         last[0], last[1] = trainer.step, now
