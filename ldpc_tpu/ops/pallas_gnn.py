@@ -266,6 +266,289 @@ class _GNNStructure:
 
 
 # ---------------------------------------------------------------------------
+# v2 kernel: edge-batched matmuls (full-width MXU)
+# ---------------------------------------------------------------------------
+#
+# The v1 kernel issues 4 small (h, h) @ (h, lanes) matmuls per base edge per
+# iteration.  At h=64 both the output-row and contraction dims underfill the
+# 128x128 MXU: the fill-factor ceiling is (h/128)^2 = 25% of peak, and v1
+# measures right at that ceiling (docs/PERFORMANCE.md).  v2 restructures the
+# data layout from sublane-blocked (K*h, lanes) to lane-blocked (h, K*lanes)
+# so the per-edge matmuls batch across edges:
+#
+# * first layer: one (2h, h) @ (h, G*lanes) matmul per edge group — the
+#   var- and check-side weights stack along M (2h = 128 rows full at h=64);
+# * second layer: one (h, 2h) @ (2h, G*lanes) matmul — [W2v W2c] @ [h1v;
+#   h1c] has a full 128-deep contraction AND produces out_v + out_c for
+#   free (the decoder sums them anyway);
+# * the per-column LLR precompute stacks both sides the same way.
+#
+# Same flop count as v1 (the column/row mean factorization is kept), ~2.5x
+# less MXU time by fill factor, and ~50x fewer matmul instructions.  Edge
+# groups of `mm_group` keep live matmul operands ~1 MiB so nothing large
+# ever spills: each edge's first-layer input is its own feats block, and
+# cross-edge dependencies only flow through the means (computed into
+# scratch at iteration start), so groups can be processed and overwritten
+# in place sequentially.
+
+
+def _kernel_v2(llr_ref, w1f_ref, w1va_ref, w1ca_ref, w1l_ref, w2vc_ref,
+               b1v_ref, b1c_ref, b2_ref, emb_ref, soft_ref,
+               feats, llr_feats, var_mean, row_mean, pre_col, pre_row, pre_llr,
+               *, st, h: int, T: int, Bt: int, lanes: int, inject: bool,
+               mm_group: int = 16, residual_from: int = 1):
+    Z, K, C, R = st.Z, st.K, st.C, st.R
+    packed = Bt > 1
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+
+    def roll(x, s):
+        if packed:
+            s = (s % Z) * Bt
+            if s == 0:
+                return x
+            if x.dtype == jnp.bfloat16:
+                return pltpu.roll(x.astype(jnp.float32), s, 1).astype(jnp.bfloat16)
+            return pltpu.roll(x, s, 1)
+        if x.dtype == jnp.bfloat16:
+            return _roll_lanes(x.astype(jnp.float32), s, Z).astype(jnp.bfloat16)
+        return _roll_lanes(x, s, Z)
+
+    def lb(k):  # lane block for edge/column/row index k
+        return pl.ds(k * lanes, lanes)
+
+    groups = [list(range(g, min(g + mm_group, K))) for g in range(0, K, mm_group)]
+
+    # ---- seed: feats0 = emb_w * llr[col] + emb_b --------------------------
+    emb_w = emb_ref[0:h, 0:1]
+    emb_b = emb_ref[h : 2 * h, 0:1]
+    for c in range(C):
+        row = llr_ref[c : c + 1, :]
+        f0 = (jnp.broadcast_to(row, (h, lanes)) * emb_w + emb_b).astype(bf16)
+        if inject:
+            llr_feats[:, lb(c)] = f0
+        for k in st.col_members[c]:
+            feats[:, lb(k)] = f0
+
+    inv_dc = [1.0 / max(len(st.col_members[c]), 1) for c in range(C)]
+    inv_dr = [1.0 / max(len(st.row_members[r]), 1) for r in range(R)]
+
+    def iteration(t, _):
+        th = pl.ds(t * h, h)
+        t2h = pl.ds(t * 2 * h, 2 * h)
+        # ---- group means (identical math to v1, lane-blocked) -------------
+        for c in range(C):
+            acc = jnp.zeros((h, lanes), f32)
+            for k in st.col_members[c]:
+                acc = acc + feats[:, lb(k)].astype(f32)
+            var_mean[:, lb(c)] = (acc * inv_dc[c]).astype(bf16)
+        for r in range(R):
+            acc = jnp.zeros((h, lanes), f32)
+            for k in st.row_members[r]:
+                acc = acc + roll(feats[:, lb(k)], -st.shifts[k]).astype(f32)
+            row_mean[:, lb(r)] = (acc * inv_dr[r]).astype(bf16)
+
+        # ---- batched per-relation precomputes ------------------------------
+        pre_col[:, :] = jnp.dot(w1va_ref[th, 0:h], var_mean[:, :],
+                                preferred_element_type=f32)
+        pre_row[:, :] = jnp.dot(w1ca_ref[th, 0:h], row_mean[:, :],
+                                preferred_element_type=f32)
+        if inject:
+            pre_llr[:, :] = jnp.dot(w1l_ref[t2h, 0:h], llr_feats[:, :],
+                                    preferred_element_type=f32)
+
+        w1f = w1f_ref[t2h, 0:h]  # (2h, h): [w1v_f; w1c_f]
+        w2vc = w2vc_ref[th, 0 : 2 * h]  # (h, 2h): [W2v W2c]
+        b2 = b2_ref[th, 0:1]
+        res_gate = jnp.where(t >= residual_from, 1.0, 0.0).astype(bf16)
+
+        for grp in groups:
+            g0, gn = grp[0], len(grp)
+            f_g = feats[:, pl.ds(g0 * lanes, gn * lanes)]  # (h, gn*lanes) bf16
+            p_g = jnp.dot(w1f, f_g, preferred_element_type=f32)  # (2h, gn*lanes)
+            h1_parts_v, h1_parts_c = [], []
+            for j, k in enumerate(grp):
+                c_k, r_k = st.cols[k], st.rows[k]
+                jl = slice(j * lanes, (j + 1) * lanes)
+                pv = (p_g[0:h, jl] + pre_col[:, lb(c_k)]
+                      + b1v_ref[th, k : k + 1])
+                pc = (p_g[h : 2 * h, jl]
+                      + roll(pre_row[:, lb(r_k)], st.shifts[k])
+                      + b1c_ref[th, k : k + 1])
+                if inject:
+                    pv = pv + pre_llr[0:h, lb(c_k)]
+                    pc = pc + pre_llr[h : 2 * h, lb(c_k)]
+                h1_parts_v.append(jnp.maximum(pv, 0.0).astype(bf16))
+                h1_parts_c.append(jnp.maximum(pc, 0.0).astype(bf16))
+            h1_g = jnp.concatenate(
+                [jnp.concatenate(h1_parts_v, axis=1),
+                 jnp.concatenate(h1_parts_c, axis=1)], axis=0
+            )  # (2h, gn*lanes)
+            out_g = jnp.dot(w2vc, h1_g, preferred_element_type=f32) + b2
+            feats[:, pl.ds(g0 * lanes, gn * lanes)] = (
+                out_g.astype(bf16) + res_gate * f_g
+            )
+        return 0
+
+    jax.lax.fori_loop(0, T, iteration, 0, unroll=False)
+
+    # ---- output: proj, per-variable sum, sigmoid --------------------------
+    proj_w = emb_ref[2 * h : 3 * h, 0:1]
+    proj_b = emb_ref[3 * h : 3 * h + 1, 0:1]
+    for c in range(C):
+        acc = jnp.zeros((1, lanes), f32)
+        for k in st.col_members[c]:
+            contrib = jnp.sum(feats[:, lb(k)].astype(f32) * proj_w, axis=0,
+                              keepdims=True)
+            acc = acc + contrib + proj_b
+        combined = llr_ref[c : c + 1, :] + acc
+        soft_ref[c : c + 1, :] = 1.0 / (1.0 + jnp.exp(combined))
+
+
+def gnn_v2_vmem_bytes(qc: QCLayout, hidden_dim: int, lanes: int,
+                      input_injection: bool) -> int:
+    K, C, R = qc.num_base_edges, qc.num_base_cols, qc.num_base_rows
+    h = hidden_dim
+    bf16 = (K + (C if input_injection else 0) + C + R) * h * lanes * 2
+    f32 = (C + R + (2 * C if input_injection else 0)) * h * lanes * 4
+    return bf16 + f32 + 2 * C * lanes * 4
+
+
+def make_fused_gnn_decoder_v2(
+    qc: QCLayout,
+    params,
+    num_iterations: int = 5,
+    hidden_dim: int = 64,
+    share_layers: bool = False,
+    input_injection: bool = False,
+    mm_group: int = 16,
+    interpret: bool = False,
+):
+    """Edge-batched-matmul variant of :func:`make_fused_gnn_decoder`.
+
+    Numerically equivalent serving path (same extractor, same math, bf16
+    rounding aside); see the layout comment above `_kernel_v2`.
+    """
+    st = _GNNStructure(qc)
+    Z, C, K, h = st.Z, st.C, st.K, hidden_dim
+    n = C * Z
+    T = num_iterations
+    if h % 8:
+        raise ValueError(f"hidden_dim must be a multiple of 8, got {h}")
+    if 128 % Z == 0:
+        Bt, lanes = 128 // Z, 128
+    elif Z % 8 == 0:
+        Bt, lanes = 1, -(-Z // 128) * 128
+    else:
+        raise ValueError(f"fused GNN kernel requires Z % 8 == 0 or Z | 128, got Z={Z}")
+    need = gnn_v2_vmem_bytes(qc, h, lanes, input_injection)
+    budget = 48 * 2**20  # scratch only; weights/temporaries live beside it
+    if need > budget:
+        raise ValueError(
+            f"v2 GNN state ({need / 2**20:.1f} MiB) exceeds the "
+            f"{budget / 2**20:.0f} MiB scratch budget (Z={Z}, h={h})"
+        )
+
+    w = _extract(params, qc, T, h, share_layers, input_injection)
+    Kpad = -(-K // 128) * 128
+
+    def stack2(a, b):  # (T, h, h) x2 -> (T*2h, h): [a_t; b_t] per iteration
+        T_, hh, d = a.shape
+        out = np.zeros((T_ * 2 * hh, max(d, 128)), np.float32)
+        for t in range(T_):
+            out[t * 2 * hh : t * 2 * hh + hh, :d] = a[t]
+            out[t * 2 * hh + hh : (t + 1) * 2 * hh, :d] = b[t]
+        return out
+
+    # first-layer blocks: [:, :h] on own feats, [:, h:2h] on the relation
+    # mean, [:, 2h:3h] on the (static) LLR features
+    w1f = jnp.asarray(stack2(w["W1v"][:, :, 0:h], w["W1c"][:, :, 0:h]), jnp.bfloat16)
+    w1l = jnp.asarray(
+        stack2(w["W1v"][:, :, 2 * h : 3 * h], w["W1c"][:, :, 2 * h : 3 * h])
+        if input_injection else np.zeros((T * 2 * h, 128), np.float32),
+        jnp.bfloat16,
+    )
+
+    def stack1(x, pad_to):  # (T, h, d) -> (T*h, pad_to)
+        T_, hh, d = x.shape
+        out = np.zeros((T_ * hh, pad_to), x.dtype)
+        out[:, :d] = x.reshape(T_ * hh, d)
+        return out
+
+    w1va = jnp.asarray(stack1(w["W1v"][:, :, h : 2 * h], 128), jnp.bfloat16)
+    w1ca = jnp.asarray(stack1(w["W1c"][:, :, h : 2 * h], 128), jnp.bfloat16)
+    w2vc = jnp.asarray(
+        stack1(np.concatenate([w["W2v"], w["W2c"]], axis=2), max(2 * h, 128)),
+        jnp.bfloat16,
+    )
+    b1v = jnp.asarray(stack1(w["bias1v"], Kpad), jnp.float32)
+    b1c = jnp.asarray(stack1(w["bias1c"], Kpad), jnp.float32)
+    b2 = jnp.asarray(
+        np.repeat((w["b2v"] + w["b2c"]).reshape(T * h, 1), 128, 1), jnp.float32
+    )
+    emb = np.zeros((3 * h + 8, 128), np.float32)
+    emb[0:h, :] = w["emb_w"][:, None]
+    emb[h : 2 * h, :] = w["emb_b"][:, None]
+    emb[2 * h : 3 * h, :] = w["proj_w"][:, None]
+    emb[3 * h, :] = w["proj_b"]
+    emb = jnp.asarray(emb)
+
+    kernel = functools.partial(
+        _kernel_v2, st=st, h=h, T=T, Bt=Bt, lanes=lanes, inject=input_injection,
+        mm_group=mm_group,
+    )
+    vm = pltpu.VMEM
+    weights = (w1f, w1va, w1ca, w1l, w2vc, b1v, b1c, b2, emb)
+    wspecs = [
+        pl.BlockSpec(x.shape, lambda i: (0, 0), memory_space=vm) for x in weights
+    ]
+    Cp = -(-C // 8) * 8
+
+    @jax.jit
+    def decode(llr: Array) -> Array:
+        B = llr.shape[0]
+        if B % Bt:
+            pad = Bt - B % Bt
+            llr = jnp.concatenate([llr, jnp.zeros((pad, n), llr.dtype)], axis=0)
+        Bp = llr.shape[0]
+        nt = Bp // Bt
+        g = llr.reshape(nt, Bt, C, Z).transpose(0, 2, 3, 1).reshape(nt, C, Z * Bt)
+        g = jnp.pad(g, ((0, 0), (0, Cp - C), (0, lanes - Z * Bt))).reshape(
+            nt * Cp, lanes
+        )
+        soft = pl.pallas_call(
+            kernel,
+            grid=(nt,),
+            in_specs=[pl.BlockSpec((Cp, lanes), lambda i: (i, 0), memory_space=vm)]
+            + wspecs,
+            out_specs=pl.BlockSpec((Cp, lanes), lambda i: (i, 0), memory_space=vm),
+            out_shape=jax.ShapeDtypeStruct((nt * Cp, lanes), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((h, K * lanes), jnp.bfloat16),  # feats (lane-blocked)
+                pltpu.VMEM((h, (C if input_injection else 1) * lanes),
+                           jnp.bfloat16),  # llr feats
+                pltpu.VMEM((h, C * lanes), jnp.bfloat16),  # var-relation means
+                pltpu.VMEM((h, st.R * lanes), jnp.bfloat16),  # check-relation means
+                pltpu.VMEM((h, C * lanes), jnp.float32),  # per-column precompute
+                pltpu.VMEM((h, st.R * lanes), jnp.float32),  # per-row precompute
+                pltpu.VMEM((2 * h, (C if input_injection else 1) * lanes),
+                           jnp.float32),  # per-column LLR precompute
+            ],
+            compiler_params=_COMPILER_PARAMS,
+            interpret=interpret,
+        )(g, *weights)
+        soft = (
+            soft.reshape(nt, Cp, lanes)[:, :C, : Z * Bt]
+            .reshape(nt, C, Z, Bt)
+            .transpose(0, 3, 1, 2)
+            .reshape(Bp, n)
+        )
+        return soft[:B]
+
+    return decode
+
+
+# ---------------------------------------------------------------------------
 # Corrected-mode serving kernel (flagship): min-sum + GNN corrections
 # ---------------------------------------------------------------------------
 

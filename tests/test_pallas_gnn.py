@@ -7,7 +7,7 @@ import pytest
 from ldpc_tpu.codes import get_base_graph, qc_layout
 from ldpc_tpu.models.message_gnn import create_message_gnn_decoder
 from ldpc_tpu.ops import qc_msg
-from ldpc_tpu.ops.pallas_gnn import make_fused_gnn_decoder
+from ldpc_tpu.ops.pallas_gnn import make_fused_gnn_decoder, make_fused_gnn_decoder_v2
 from ldpc_tpu.utils import bpsk_awgn_llr
 
 
@@ -57,6 +57,53 @@ def test_matches_flax_module(name, Z, inject, share):
     confident = np.abs(b - 0.5) > 0.05
     assert confident.mean() > 0.5  # the check below must actually bite
     assert ((a > 0.5) == (b > 0.5))[confident].all()
+
+
+@pytest.mark.parametrize("name,Z,inject,share", [
+    ("toy_4x8", 4, False, False),
+    ("toy_4x8", 4, True, False),
+    ("toy_4x8", 8, True, True),
+    ("nr_2_0_4", 4, True, False),
+])
+def test_v2_matches_flax_module(name, Z, inject, share):
+    """Edge-batched-matmul kernel: same parity gate as the v1 kernel."""
+    qc = qc_layout(get_base_graph(name), Z)
+    plan = qc_msg.make_plan(qc)
+    n = plan.C * plan.Z
+    iters, h = 3, 16
+    model = create_message_gnn_decoder(
+        plan, num_iterations=iters, hidden_dim=h,
+        input_injection=inject, share_layers=share,
+    )
+    llr = bpsk_awgn_llr(jax.random.PRNGKey(0), jnp.zeros((4, n)), 2.0)
+    params = _trained_like_params(model, llr, plan, seed=3)
+    soft_ref, _ = model.apply(params, llr, plan)
+
+    fused = make_fused_gnn_decoder_v2(
+        qc, params, num_iterations=iters, hidden_dim=h,
+        share_layers=share, input_injection=inject, mm_group=3, interpret=True,
+    )
+    soft = fused(llr)
+    a, b = np.asarray(soft), np.asarray(soft_ref)
+    np.testing.assert_allclose(a, b, atol=3e-2)
+    confident = np.abs(b - 0.5) > 0.05
+    assert confident.mean() > 0.5
+    assert ((a > 0.5) == (b > 0.5))[confident].all()
+
+
+def test_v2_matches_v1_kernel():
+    """v1 and v2 are the same serving computation re-tiled: near-identical."""
+    qc = qc_layout(get_base_graph("nr_2_0_4"), 4)
+    plan = qc_msg.make_plan(qc)
+    n = plan.C * plan.Z
+    model = create_message_gnn_decoder(plan, num_iterations=4, hidden_dim=16,
+                                       input_injection=True)
+    llr = bpsk_awgn_llr(jax.random.PRNGKey(2), jnp.zeros((4, n)), 1.0)
+    params = _trained_like_params(model, llr, plan, seed=9)
+    kw = dict(num_iterations=4, hidden_dim=16, input_injection=True, interpret=True)
+    v1 = make_fused_gnn_decoder(qc, params, **kw)(llr)
+    v2 = make_fused_gnn_decoder_v2(qc, params, **kw)(llr)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), atol=2e-2)
 
 
 def test_untrained_is_channel_passthrough():

@@ -36,6 +36,11 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--hidden", type=int, default=64)
+    ap.add_argument("--code", default="nr_2_0_4")
+    ap.add_argument("--Z", type=int, default=4)
+    ap.add_argument("--fresh", action="store_true",
+                    help="bench fresh (untrained) params — kernel speed does "
+                         "not depend on weight values")
     ap.add_argument("--gnn-checkpoint", default="results/message_gnn_nr_2_0_4.msgpack")
     ap.add_argument("--corrected-checkpoint",
                     default="results/corrected_gnn_nr_2_0_4.msgpack")
@@ -50,11 +55,13 @@ def main() -> None:
     from ldpc_tpu.ops.pallas_gnn import (
         make_fused_corrected_gnn_decoder,
         make_fused_gnn_decoder,
+        make_fused_gnn_decoder_v2,
     )
     from ldpc_tpu.training import LDPCDecoderTrainer
     from ldpc_tpu.utils import bpsk_awgn_llr
+    from ldpc_tpu.utils.profiling import gnn_roofline
 
-    qc = qc_layout(get_base_graph("nr_2_0_4"), 4)
+    qc = qc_layout(get_base_graph(args.code), args.Z)
     plan = qc_msg.make_plan(qc)
     n = plan.C * plan.Z
     B = args.batch
@@ -65,40 +72,52 @@ def main() -> None:
         l.block_until_ready()
 
     cases = []
-    if Path(args.gnn_checkpoint).exists():
-        cases.append(("message_gnn", args.gnn_checkpoint,
-                      create_message_gnn_decoder, make_fused_gnn_decoder))
-    if Path(args.corrected_checkpoint).exists():
+    if args.fresh or Path(args.gnn_checkpoint).exists():
+        cases.append(("message_gnn",
+                      None if args.fresh else args.gnn_checkpoint,
+                      create_message_gnn_decoder,
+                      [("fused_v1", make_fused_gnn_decoder),
+                       ("fused_v2", make_fused_gnn_decoder_v2)]))
+    if not args.fresh and Path(args.corrected_checkpoint).exists():
         cases.append(("corrected_gnn", args.corrected_checkpoint,
                       create_corrected_minsum_gnn_decoder,
-                      make_fused_corrected_gnn_decoder))
+                      [("fused", make_fused_corrected_gnn_decoder)]))
 
-    for name, ckpt, factory, fuse in cases:
+    rl = gnn_roofline(qc, args.hidden, args.iters, input_injection=True)
+    bounds = rl.bound_bits_per_s(n)
+    print(f"roofline (h={args.hidden}, T={args.iters}): "
+          f"MXU peak {bounds['mxu_bound_bits_per_s'] / 1e6:.1f} Mbit/s, "
+          f"(h/128)^2 fill ceiling {bounds['mxu_bound_achievable_bits_per_s'] / 1e6:.1f}, "
+          f"VPU {bounds['vpu_bound_bits_per_s'] / 1e6:.1f}")
+
+    for name, ckpt, factory, fusers in cases:
         model = factory(plan, num_iterations=args.iters, hidden_dim=args.hidden,
                         input_injection=True)
         tr = LDPCDecoderTrainer(model, plan, seed=0)
-        tr.load_model(ckpt)
+        if ckpt is not None:
+            tr.load_model(ckpt)
 
         @jax.jit
         def xla_soft(llr, params=tr.params, model=model):
             soft, _ = model.apply(params, llr, plan)
             return soft
 
-        fused = fuse(qc, tr.params, num_iterations=args.iters,
-                     hidden_dim=args.hidden, input_injection=True)
-
-        a = np.asarray(fused(llrs[0]))
-        b = np.asarray(xla_soft(llrs[0]))
-        conf = np.abs(b - 0.5) > 0.05
-        agree = ((a > 0.5) == (b > 0.5))[conf].mean() if conf.any() else 1.0
-        print(f"{name}: |diff| max {np.abs(a - b).max():.4f}, "
-              f"confident-decision agreement {agree:.6f}")
-
         dt_x = bench(xla_soft, llrs)
-        dt_f = bench(fused, llrs)
-        print(f"{name}: XLA {B * n / dt_x / 1e6:.1f} Mbit/s   "
-              f"fused {B * n / dt_f / 1e6:.1f} Mbit/s   "
-              f"speedup {dt_x / dt_f:.1f}x")
+        print(f"{name}: XLA {B * n / dt_x / 1e6:.1f} Mbit/s")
+        for fname, fuse in fusers:
+            fused = fuse(qc, tr.params, num_iterations=args.iters,
+                         hidden_dim=args.hidden, input_injection=True)
+            a = np.asarray(fused(llrs[0]))
+            b = np.asarray(xla_soft(llrs[0]))
+            conf = np.abs(b - 0.5) > 0.05
+            agree = ((a > 0.5) == (b > 0.5))[conf].mean() if conf.any() else 1.0
+            dt_f = bench(fused, llrs)
+            bps = B * n / dt_f
+            mfu = bps * rl.mxu_flops_per_frame / n / 1.97e14
+            print(f"{name}/{fname}: {bps / 1e6:.1f} Mbit/s  "
+                  f"speedup_vs_xla {dt_x / dt_f:.1f}x  MFU {mfu * 100:.1f}%  "
+                  f"|diff| max {np.abs(a - b).max():.4f}  "
+                  f"decision agreement {agree:.6f}")
 
 
 if __name__ == "__main__":
