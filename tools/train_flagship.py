@@ -22,7 +22,7 @@ import time
 from pathlib import Path
 
 
-def build_model(name: str, plan, iters: int, hidden: int):
+def build_model(name: str, plan, iters: int, hidden: int, multiloss: bool = False):
     from ldpc_tpu.models.message_gnn import (
         create_corrected_minsum_gnn_decoder,
         create_message_gnn_decoder,
@@ -31,11 +31,13 @@ def build_model(name: str, plan, iters: int, hidden: int):
 
     if name == "corrected":
         return create_corrected_minsum_gnn_decoder(
-            plan, num_iterations=iters, hidden_dim=hidden, input_injection=True
+            plan, num_iterations=iters, hidden_dim=hidden, input_injection=True,
+            multiloss=multiloss,
         )
     if name == "gnn":
         return create_message_gnn_decoder(
-            plan, num_iterations=iters, hidden_dim=hidden, input_injection=True
+            plan, num_iterations=iters, hidden_dim=hidden, input_injection=True,
+            multiloss=multiloss,
         )
     if name == "oms_per_iter":
         return NeuralMinSumDecoder(
@@ -53,6 +55,9 @@ def main() -> None:
     ap.add_argument("--Z", type=int, default=4)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--hidden", type=int, default=64)
+    ap.add_argument("--multiloss", action="store_true",
+                    help="BCE at every iteration's marginals (deep-unrolled "
+                         "training aid; decode output unchanged)")
     ap.add_argument("--steps", type=int, default=60000)
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--lr", type=float, default=1e-3)
@@ -96,7 +101,7 @@ def main() -> None:
     qc = qc_layout(bg, args.Z)
     plan = qc_msg.make_plan(qc)
     enc = encoder_from_H(expand_base_matrix(bg, args.Z))
-    model = build_model(args.model, plan, args.iters, args.hidden)
+    model = build_model(args.model, plan, args.iters, args.hidden, args.multiloss)
     trainer = LDPCDecoderTrainer(model, plan, seed=args.seed, encoder=enc)
 
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(trainer.params))
