@@ -1,6 +1,19 @@
 """Headline benchmark: decoded bits/s/chip, min-sum + message-GNN, 20 iterations.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "details"}.
+Prints JSON lines of the form {"metric", "value", "unit", "vs_baseline",
+"details"}; the LAST line is the complete combined result.  A cumulative
+line is emitted after every section so that a mid-run TPU hang (the
+documented no-holder relay wedge, docs/PERFORMANCE.md "TPU tunnel
+wedge") can never erase the headline min-sum number.
+
+Wedge-proofing (VERDICT r2 item 2):
+* the orchestrator process never imports jax — it probes the TPU relay in
+  a bounded subprocess first (retrying once), and only then runs each
+  benchmark section as its own subprocess under a hard timeout;
+* if the relay is wedged, sections run on CPU (flagged
+  ``backend: "cpu-fallback"`` in details) rather than hanging to rc=124;
+* a hung/failed section is skipped with a note; every completed section's
+  numbers survive.
 
 Baseline (vs_baseline denominator): the reference PyTorch
 ``MinSumScaledDecoder`` (`models/traditional_decoders.py:137-285`) measured
@@ -8,17 +21,17 @@ on NR_2_0_32 (Z=32), batch 32 (its own eval protocol batch,
 `comparative_evaluation.py:42`), 20 iterations, no early stop, CPU:
 666.43 bits/s (79.9 s per batch; measured 2026-08-17 on this machine —
 the reference publishes no numbers, BASELINE.md).
+
+Self-test of the hang path: LDPC_BENCH_SIMULATE_HANG=<section> makes that
+section sleep past its timeout; the min-sum line must still be printed.
 """
 from __future__ import annotations
 
-import contextlib
 import json
 import os
+import subprocess
+import sys
 import time
-from functools import partial
-
-import jax
-import jax.numpy as jnp
 
 REF_BITS_PER_S = 666.43
 
@@ -29,29 +42,53 @@ MINSUM_BATCH = 65536
 GNN_BATCH = 512
 GNN_HIDDEN = 64
 
+PROBE_TIMEOUT_S = 120
+PROBE_ATTEMPTS = 2
+# Per-section wall budgets.  The GNN/z384 kernels take several minutes to
+# compile cold (fori_loop bodies with K=197 unrolled edge programs); the
+# persistent compilation cache (JAX_COMPILATION_CACHE_DIR below) makes
+# warm runs take seconds, so these budgets only bite on a cold cache or a
+# mid-run wedge — and every completed section's line survives either way.
+SECTION_TIMEOUTS = {"minsum": 600, "msg_gnn": 900, "corrected_gnn": 700, "z384": 700}
+SECTION_ORDER = ["minsum", "msg_gnn", "corrected_gnn", "z384"]
 
-def main() -> None:
+
+# --------------------------------------------------------------------------
+# Section implementations (run in child processes; jax imported only here)
+# --------------------------------------------------------------------------
+
+def _time_fn(fn, reps=10):
+    import jax
+
+    # Timing discipline for remote/tunneled backends: block_until_ready
+    # can return before real device execution completes, so (a) saturate
+    # the queue with back-to-back dispatches and (b) synchronize with an
+    # actual VALUE fetch of the last result, which cannot be elided.
+    outs = [fn(i) for i in range(2)]  # warmup (compile + steady)
+    _ = [float(x) for x in jax.tree_util.tree_leaves(outs[-1])]
+    t0 = time.time()
+    outs = [fn(100 + i) for i in range(reps)]
+    _ = [float(x) for x in jax.tree_util.tree_leaves(outs[-1])]
+    return (time.time() - t0) / reps, outs[-1]
+
+
+def section_minsum() -> dict:
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
     from ldpc_tpu.codes import get_base_graph, qc_layout
     from ldpc_tpu.models.classical import decode_min_sum
-    from ldpc_tpu.models.message_gnn import create_message_gnn_decoder
     from ldpc_tpu.ops import qc_msg
     from ldpc_tpu.ops.pallas_minsum import make_fused_minsum
     from ldpc_tpu.utils import bpsk_awgn_llr
-    from ldpc_tpu.utils.metrics import REGISTRY, decode_throughput
-    from ldpc_tpu.utils.profiling import trace
-
-    # LDPC_TPU_TRACE=<dir> captures a jax.profiler device trace of the run.
-    trace_dir = os.environ.get("LDPC_TPU_TRACE")
-    _stack = contextlib.ExitStack()
-    if trace_dir:
-        _stack.enter_context(trace(trace_dir))
+    from ldpc_tpu.utils.metrics import decode_throughput
 
     qc = qc_layout(get_base_graph(CODE), Z)
     plan = qc_msg.make_plan(qc)
     n = plan.C * plan.Z
     on_tpu = jax.default_backend() == "tpu"
-
-    # --- min-sum (fused Pallas kernel on TPU; XLA scan elsewhere) --------
     fused = make_fused_minsum(qc, ITERS, 0.75, batch_tile=128) if on_tpu else None
 
     @partial(jax.jit, static_argnames=("B",))
@@ -63,24 +100,36 @@ def main() -> None:
         res = decode_min_sum(llr, plan, ITERS, 0.75)
         return res.bits.sum(), res.conv_iter.astype(jnp.float32).mean()
 
-    def time_fn(fn, reps=10):
-        # Timing discipline for remote/tunneled backends: block_until_ready
-        # can return before real device execution completes, so (a) saturate
-        # the queue with back-to-back dispatches and (b) synchronize with an
-        # actual VALUE fetch of the last result, which cannot be elided.
-        outs = [fn(i) for i in range(2)]  # warmup (compile + steady)
-        _ = [float(x) for x in jax.tree_util.tree_leaves(outs[-1])]
-        t0 = time.time()
-        outs = [fn(100 + i) for i in range(reps)]
-        _ = [float(x) for x in jax.tree_util.tree_leaves(outs[-1])]
-        return (time.time() - t0) / reps, outs[-1]
+    dt, (err, iters) = _time_fn(lambda i: minsum_pipe(jax.random.PRNGKey(i), MINSUM_BATCH))
+    bps = decode_throughput(MINSUM_BATCH, n, dt, name="minsum")
+    return {
+        "minsum_bits_per_s": round(bps, 1),
+        "minsum_kernel": "pallas_fused" if fused is not None else "xla_scan",
+        "minsum_batch": MINSUM_BATCH,
+        "minsum_ms_per_batch": round(dt * 1e3, 2),
+        "minsum_bit_errors_at_3db": float(err),
+        "minsum_mean_conv_iters": round(float(iters), 2),
+        "backend": jax.default_backend(),
+    }
 
-    dt_ms, (err_ms, iters_ms) = time_fn(
-        lambda i: minsum_pipe(jax.random.PRNGKey(i), MINSUM_BATCH)
-    )
-    minsum_bps = decode_throughput(MINSUM_BATCH, n, dt_ms, name="minsum")
 
-    # --- message GNN (fused Pallas serving kernel on TPU; XLA elsewhere) ---
+def section_msg_gnn() -> dict:
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from ldpc_tpu.codes import get_base_graph, qc_layout
+    from ldpc_tpu.models.message_gnn import create_message_gnn_decoder
+    from ldpc_tpu.ops import qc_msg
+    from ldpc_tpu.utils import bpsk_awgn_llr
+    from ldpc_tpu.utils.metrics import decode_throughput
+
+    qc = qc_layout(get_base_graph(CODE), Z)
+    plan = qc_msg.make_plan(qc)
+    n = plan.C * plan.Z
+    on_tpu = jax.default_backend() == "tpu"
+
     model = create_message_gnn_decoder(plan, num_iterations=ITERS, hidden_dim=GNN_HIDDEN)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, n)), plan)
     if on_tpu:
@@ -101,97 +150,199 @@ def main() -> None:
             soft, _ = model.apply(params, llr, plan)
         return (soft > 0.5).astype(jnp.float32).sum()
 
-    dt_gnn, _ = time_fn(lambda i: gnn_pipe(params, jax.random.PRNGKey(i), GNN_BATCH), reps=5)
-    gnn_bps = decode_throughput(GNN_BATCH, n, dt_gnn, name="msg_gnn")
+    dt, _ = _time_fn(lambda i: gnn_pipe(params, jax.random.PRNGKey(i), GNN_BATCH), reps=5)
+    bps = decode_throughput(GNN_BATCH, n, dt, name="msg_gnn")
+    return {
+        "msg_gnn_bits_per_s": round(bps, 1),
+        "msg_gnn_kernel": "pallas_fused" if gnn_soft is not None else "xla",
+        "msg_gnn_hidden": GNN_HIDDEN,
+        "msg_gnn_batch": GNN_BATCH,
+    }
 
-    # --- flagship corrected GNN (trained ckpt, if present) -----------------
-    corrected_bps = None
-    if on_tpu:
-        from pathlib import Path
 
-        ckpt = Path("results/corrected_gnn_nr_2_0_4.msgpack")
-        if ckpt.exists():
-            from flax import serialization
+def section_corrected_gnn() -> dict:
+    from pathlib import Path
 
-            from ldpc_tpu.codes import get_base_graph as _gbg
-            from ldpc_tpu.models.message_gnn import (
-                create_corrected_minsum_gnn_decoder,
-            )
-            from ldpc_tpu.ops.pallas_gnn import make_fused_corrected_gnn_decoder
+    import jax
+    import jax.numpy as jnp
 
-            qc4 = qc_layout(_gbg("nr_2_0_4"), 4)
-            plan4 = qc_msg.make_plan(qc4)
-            n4 = plan4.C * plan4.Z
-            m4 = create_corrected_minsum_gnn_decoder(
-                plan4, num_iterations=5, hidden_dim=64, input_injection=True
-            )
-            payload = serialization.msgpack_restore(ckpt.read_bytes())
-            p4 = serialization.from_state_dict(
-                m4.init(jax.random.PRNGKey(0), jnp.zeros((2, n4)), plan4),
-                payload["params"],
-            )
-            corr = make_fused_corrected_gnn_decoder(
-                qc4, p4, num_iterations=5, hidden_dim=64, early_exit=True
-            )
+    from ldpc_tpu.codes import get_base_graph, qc_layout
+    from ldpc_tpu.ops import qc_msg
+    from ldpc_tpu.utils import bpsk_awgn_llr
+    from ldpc_tpu.utils.metrics import decode_throughput
 
-            @jax.jit
-            def corr_pipe(key):
-                llr = bpsk_awgn_llr(key, jnp.zeros((4096, n4)), 3.0)
-                return (corr(llr) > 0.5).astype(jnp.float32).sum()
+    if jax.default_backend() != "tpu":
+        return {"corrected_gnn_early_exit_bits_per_s": None}
+    ckpt = Path("results/corrected_gnn_nr_2_0_4.msgpack")
+    if not ckpt.exists():
+        return {"corrected_gnn_early_exit_bits_per_s": None}
 
-            dt_c, _ = time_fn(lambda i: corr_pipe(jax.random.PRNGKey(i)), reps=5)
-            corrected_bps = decode_throughput(4096, n4, dt_c, name="corrected_gnn")
+    from flax import serialization
 
-    # --- large-Z (Z=384, 5G maximum) via the Z-in-lanes kernel -------------
-    zlane_bps = None
-    if on_tpu:
-        from ldpc_tpu.ops.pallas_minsum import make_fused_minsum_zlane
+    from ldpc_tpu.models.message_gnn import create_corrected_minsum_gnn_decoder
+    from ldpc_tpu.ops.pallas_gnn import make_fused_corrected_gnn_decoder
 
-        qc384 = qc_layout(get_base_graph(CODE), 384)
-        n384 = qc384.num_base_cols * 384
-        zfused = make_fused_minsum_zlane(qc384, ITERS, 0.75)
-
-        @jax.jit
-        def zlane_pipe(key):
-            llr = bpsk_awgn_llr(key, jnp.zeros((512, n384)), 3.0)
-            bits, conv = zfused(llr)
-            return bits.sum(), conv.astype(jnp.float32).mean()
-
-        dt_z, _ = time_fn(lambda i: zlane_pipe(jax.random.PRNGKey(i)), reps=5)
-        zlane_bps = decode_throughput(512, n384, dt_z, name="z384_zlane")
-
-    _stack.close()  # flush the profiler trace (if enabled) before reporting
-    print(
-        json.dumps(
-            {
-                "metric": "minsum_decoded_bits_per_s_per_chip",
-                "value": round(minsum_bps, 1),
-                "unit": "bits/s",
-                "vs_baseline": round(minsum_bps / REF_BITS_PER_S, 1),
-                "details": {
-                    "code": CODE,
-                    "Z": Z,
-                    "iterations": ITERS,
-                    "minsum_kernel": "pallas_fused" if fused is not None else "xla_scan",
-                    "minsum_batch": MINSUM_BATCH,
-                    "minsum_ms_per_batch": round(dt_ms * 1e3, 2),
-                    "minsum_bit_errors_at_3db": float(err_ms),
-                    "minsum_mean_conv_iters": round(float(iters_ms), 2),
-                    "msg_gnn_bits_per_s": round(gnn_bps, 1),
-                    "msg_gnn_kernel": "pallas_fused" if gnn_soft is not None else "xla",
-                    "z384_zlane_bits_per_s": round(zlane_bps, 1) if zlane_bps else None,
-                    "corrected_gnn_early_exit_bits_per_s": (
-                        round(corrected_bps, 1) if corrected_bps else None
-                    ),
-                    "msg_gnn_hidden": GNN_HIDDEN,
-                    "msg_gnn_batch": GNN_BATCH,
-                    "baseline_bits_per_s": REF_BITS_PER_S,
-                    "backend": jax.default_backend(),
-                    "metrics": REGISTRY.snapshot()["gauges"],
-                },
-            }
-        )
+    qc4 = qc_layout(get_base_graph("nr_2_0_4"), 4)
+    plan4 = qc_msg.make_plan(qc4)
+    n4 = plan4.C * plan4.Z
+    m4 = create_corrected_minsum_gnn_decoder(
+        plan4, num_iterations=5, hidden_dim=64, input_injection=True
     )
+    payload = serialization.msgpack_restore(ckpt.read_bytes())
+    p4 = serialization.from_state_dict(
+        m4.init(jax.random.PRNGKey(0), jnp.zeros((2, n4)), plan4),
+        payload["params"],
+    )
+    corr = make_fused_corrected_gnn_decoder(
+        qc4, p4, num_iterations=5, hidden_dim=64, early_exit=True
+    )
+
+    @jax.jit
+    def corr_pipe(key):
+        llr = bpsk_awgn_llr(key, jnp.zeros((4096, n4)), 3.0)
+        return (corr(llr) > 0.5).astype(jnp.float32).sum()
+
+    dt, _ = _time_fn(lambda i: corr_pipe(jax.random.PRNGKey(i)), reps=5)
+    bps = decode_throughput(4096, n4, dt, name="corrected_gnn")
+    return {"corrected_gnn_early_exit_bits_per_s": round(bps, 1)}
+
+
+def section_z384() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from ldpc_tpu.codes import get_base_graph, qc_layout
+    from ldpc_tpu.utils import bpsk_awgn_llr
+    from ldpc_tpu.utils.metrics import decode_throughput
+
+    if jax.default_backend() != "tpu":
+        return {"z384_zlane_bits_per_s": None}
+    from ldpc_tpu.ops.pallas_minsum import make_fused_minsum_zlane
+
+    qc384 = qc_layout(get_base_graph(CODE), 384)
+    n384 = qc384.num_base_cols * 384
+    zfused = make_fused_minsum_zlane(qc384, ITERS, 0.75)
+
+    @jax.jit
+    def zlane_pipe(key):
+        llr = bpsk_awgn_llr(key, jnp.zeros((512, n384)), 3.0)
+        bits, conv = zfused(llr)
+        return bits.sum(), conv.astype(jnp.float32).mean()
+
+    dt, _ = _time_fn(lambda i: zlane_pipe(jax.random.PRNGKey(i)), reps=5)
+    bps = decode_throughput(512, n384, dt, name="z384_zlane")
+    return {"z384_zlane_bits_per_s": round(bps, 1)}
+
+
+SECTION_FNS = {
+    "minsum": section_minsum,
+    "msg_gnn": section_msg_gnn,
+    "corrected_gnn": section_corrected_gnn,
+    "z384": section_z384,
+}
+
+
+def run_section(name: str) -> None:
+    """Child-process entry: run one section, print its JSON dict last."""
+    import contextlib
+
+    from ldpc_tpu.utils.profiling import trace
+
+    if os.environ.get("LDPC_BENCH_SIMULATE_HANG") == name:
+        time.sleep(10_000)
+    with contextlib.ExitStack() as stack:
+        # LDPC_TPU_TRACE=<dir> captures a jax.profiler device trace.
+        trace_dir = os.environ.get("LDPC_TPU_TRACE")
+        if trace_dir:
+            stack.enter_context(trace(os.path.join(trace_dir, name)))
+        result = SECTION_FNS[name]()
+    from ldpc_tpu.utils.metrics import REGISTRY
+
+    result["_gauges"] = REGISTRY.snapshot()["gauges"]
+    print("\n" + json.dumps(result), flush=True)
+
+
+# --------------------------------------------------------------------------
+# Orchestrator (parent process; never imports jax)
+# --------------------------------------------------------------------------
+
+def probe_tpu() -> bool:
+    """Bounded TPU-relay liveness probe (the wedge hangs inside device init,
+    so it must run in a killable subprocess — docs/PERFORMANCE.md)."""
+    for attempt in range(PROBE_ATTEMPTS):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; assert jax.devices()[0].platform == 'tpu'"],
+                timeout=PROBE_TIMEOUT_S, capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"# tpu probe attempt {attempt + 1} failed", file=sys.stderr, flush=True)
+    return False
+
+
+def emit(details: dict, final: bool) -> None:
+    bps = details.get("minsum_bits_per_s")
+    line = {
+        "metric": "minsum_decoded_bits_per_s_per_chip",
+        "value": bps,
+        "unit": "bits/s",
+        "vs_baseline": round(bps / REF_BITS_PER_S, 1) if bps else None,
+        "details": {
+            "code": CODE, "Z": Z, "iterations": ITERS,
+            "baseline_bits_per_s": REF_BITS_PER_S,
+            "partial": not final,
+            **{k: v for k, v in details.items() if k != "minsum_bits_per_s"},
+        },
+    }
+    print(json.dumps(line), flush=True)
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--section":
+        run_section(sys.argv[2])
+        return
+
+    # Persistent compilation cache: sections (and future bench runs) reuse
+    # each other's TPU compilations.
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ldpc_tpu_jax_cache")
+
+    env = dict(os.environ)
+    if not probe_tpu():
+        print("# TPU relay wedged -> CPU fallback", file=sys.stderr, flush=True)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["LDPC_BENCH_CPU_FALLBACK"] = "1"
+
+    details: dict = {}
+    gauges: dict = {}
+    if env.get("LDPC_BENCH_CPU_FALLBACK"):
+        details["backend"] = "cpu-fallback"
+    for name in SECTION_ORDER:
+        t0 = time.time()
+        try:
+            r = subprocess.run(
+                [sys.executable, __file__, "--section", name],
+                timeout=SECTION_TIMEOUTS[name], capture_output=True, text=True,
+                env=env,
+            )
+            if r.returncode != 0:
+                details[f"{name}_error"] = (r.stderr or "")[-400:].strip() or f"rc={r.returncode}"
+            else:
+                payload = json.loads(r.stdout.strip().splitlines()[-1])
+                gauges.update(payload.pop("_gauges", {}))
+                details.update(payload)
+        except subprocess.TimeoutExpired:
+            details[f"{name}_error"] = f"timeout after {SECTION_TIMEOUTS[name]}s"
+        details[f"{name}_wall_s"] = round(time.time() - t0, 1)
+        # Cumulative line after every section: a later hang cannot erase
+        # the already-measured numbers (the driver keeps the last line).
+        if name != SECTION_ORDER[-1]:
+            emit(details, final=False)
+    details["metrics"] = gauges
+    emit(details, final=True)
 
 
 if __name__ == "__main__":
