@@ -71,18 +71,32 @@ int ldpc_parse_base_matrix(const char* path, int32_t* out, int64_t max_cells,
 
 // Enumerate edges of a dense binary H (row-major int8, m x n) in the
 // reference order — nonzeros of H^T row-major, i.e. sorted by (var, check).
+// Two sequential row-major passes + a counting sort by variable (rows are
+// visited in order, so within each variable the checks come out sorted);
+// a naive column-major scan is ~50x slower at lifted scale from the
+// stride-n access pattern alone.
 // edge_var/edge_check: capacity max_edges.  Returns edge count or -2.
 int64_t ldpc_enumerate_edges(const int8_t* H, int32_t m, int32_t n,
                              int32_t* edge_var, int32_t* edge_check,
                              int64_t max_edges) {
-  int64_t e = 0;
-  for (int32_t v = 0; v < n; ++v) {
-    for (int32_t c = 0; c < m; ++c) {
-      if (H[static_cast<int64_t>(c) * n + v]) {
-        if (e >= max_edges) return -2;
-        edge_var[e] = v;
-        edge_check[e] = c;
-        ++e;
+  std::vector<int64_t> col_count(n + 1, 0);
+  for (int32_t c = 0; c < m; ++c) {
+    const int8_t* row = H + static_cast<int64_t>(c) * n;
+    for (int32_t v = 0; v < n; ++v) {
+      if (row[v]) ++col_count[v + 1];
+    }
+  }
+  for (int32_t v = 0; v < n; ++v) col_count[v + 1] += col_count[v];
+  const int64_t e = col_count[n];
+  if (e > max_edges) return -2;
+  std::vector<int64_t> fill(col_count.begin(), col_count.end() - 1);
+  for (int32_t c = 0; c < m; ++c) {
+    const int8_t* row = H + static_cast<int64_t>(c) * n;
+    for (int32_t v = 0; v < n; ++v) {
+      if (row[v]) {
+        const int64_t slot = fill[v]++;
+        edge_var[slot] = v;
+        edge_check[slot] = c;
       }
     }
   }

@@ -13,5 +13,6 @@ from ldpc_tpu.codes.edge_layout import (  # noqa: F401
     EdgeLayout,
     QCLayout,
     edge_layout_from_H,
+    edge_layout_from_H_numpy,
     qc_layout,
 )

@@ -70,6 +70,11 @@ def load_base_matrix(path: str | Path) -> BaseGraph:
     if path.suffix == ".json":
         payload = json.loads(path.read_text())
         return BaseGraph(name=payload.get("name", path.stem), shifts=np.array(payload["shifts"]))
+    from ldpc_tpu.runtime import native  # lazy: runtime imports this module
+
+    bg = native.load_base_matrix_native(path)
+    if bg is not None:
+        return bg
     rows = [[int(float(v)) for v in ln.split()] for ln in path.read_text().splitlines() if ln.split()]
     return BaseGraph(name=path.stem, shifts=np.array(rows))
 

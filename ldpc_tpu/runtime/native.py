@@ -93,7 +93,14 @@ def edge_layout_from_H_native(H: np.ndarray) -> EdgeLayout | None:
     lib = _load()
     if lib is None:
         return None
-    H8 = np.ascontiguousarray(np.asarray(H) != 0, dtype=np.int8)
+    H = np.asarray(H)
+    if H.dtype in (np.int8, np.uint8, np.bool_) and H.flags.c_contiguous:
+        # The C side only tests non-zeroness; any byte-sized dtype works
+        # as-is.  The copying conversion below costs ~4 s at Z=384 (322 MB
+        # dense H) — more than the entire native build.
+        H8 = H.view(np.int8)
+    else:
+        H8 = np.ascontiguousarray(np.asarray(H) != 0, dtype=np.int8)
     m, n = H8.shape
     cap = int(H8.sum())
     ev = np.empty(cap, dtype=np.int32)
