@@ -549,6 +549,365 @@ def make_fused_gnn_decoder_v2(
 
 
 # ---------------------------------------------------------------------------
+# v3 kernel: element-count reduction (VERDICT r2 item 7)
+# ---------------------------------------------------------------------------
+#
+# v1 == v2 in measured throughput, and both match the per-ELEMENT VPU
+# accounting of their instruction streams (~24 (h, lanes) element-block ops
+# per base edge per iteration at Z=32) — the kernel retires VPU elements at
+# device rate, so the only lever left is issuing fewer elements.  v3 keeps
+# v2's lane-blocked layout and big-matmul structure and removes element
+# work:
+#
+# * type embeddings ride IN the feature stream: the writeback adds a
+#   precomputed per-(iteration, edge) delta column (te_{t+1} - te_t, the
+#   residual algebra keeps the stream exact), so the two per-edge bias1
+#   adds (which existed only to carry the te fold) collapse into one delta
+#   add and the (T, h, K) bias tables disappear;
+# * the scalar first-layer biases b1v/b1c fold into the per-column /
+#   per-row precomputes (C + R adds instead of 2K; b1c is lane-constant so
+#   the per-edge roll leaves it invariant);
+# * the LLR-injection column term folds into pre_col (C adds, not K);
+# * the check-relation aggregate is projected BEFORE rolling
+#   (roll(W @ x) == W @ roll(x)): the per-edge roll moves to the f32
+#   matmul output, killing the bf16<->f32 cast round-trips of the v1/v2
+#   row-mean path (5 element ops -> 2);
+# * first layer + check-relation projection run as ONE whole-graph matmul
+#   ([W1vf; W1cf; W1ca] @ feats), the second layer as one whole-graph
+#   matmul over an h1 scratch written in place by the per-edge epilogue
+#   (no concatenates), with a constant ones-row carrying b2;
+# * iteration 0 is peeled so the residual gate multiply disappears.
+#
+# Net: ~14 element-block ops per edge per iteration with input injection
+# (~13 without) vs ~24 — measured 1.58x over v1/v2 on the real chip
+# (docs/PERFORMANCE.md).  Numerics: same bf16 feature stream, f32
+# pre-activations; b2 enters through the bf16 ones-row matmul instead of a
+# f32 add (covered by the kernel parity tolerances).
+
+
+def _extract_v3(params, qc: QCLayout, num_iterations: int, hidden_dim: int,
+                share_layers: bool, input_injection: bool):
+    """Flax param tree -> v3 weight tables (te kept raw, biases unfolded)."""
+    p = params["params"] if "params" in params else params
+    h = hidden_dim
+    T = num_iterations
+    K = qc.num_base_edges
+
+    emb_w = np.asarray(p["input_embedding"]["kernel"], np.float32).reshape(h)
+    emb_b = np.asarray(p["input_embedding"]["bias"], np.float32).reshape(h)
+    proj_w = np.asarray(p["output_projection"]["kernel"], np.float32).reshape(h)
+    proj_b = float(np.asarray(p["output_projection"]["bias"]).reshape(()))
+
+    W1vf = np.zeros((T, h, h), np.float32)
+    W1cf = np.zeros((T, h, h), np.float32)
+    W1va = np.zeros((T, h, h), np.float32)
+    W1ca = np.zeros((T, h, h), np.float32)
+    W1vl = np.zeros((T, h, h), np.float32)
+    W1cl = np.zeros((T, h, h), np.float32)
+    W2v = np.zeros((T, h, h), np.float32)
+    W2c = np.zeros((T, h, h), np.float32)
+    b1v = np.zeros((T, h), np.float32)
+    b1c = np.zeros((T, h), np.float32)
+    b2 = np.zeros((T, h), np.float32)
+    te = np.zeros((T, K, h), np.float32)
+
+    for t in range(T):
+        lp = p["gnn_layer" if share_layers else f"gnn_layer_{t}"]
+        te[t] = np.asarray(lp["message_type_embeddings"], np.float32)[
+            np.asarray(qc.edge_type)
+        ]
+        for prefix, W1f, W1a, W1l, W2, bb1, side in (
+            ("var_to_check_update", W1vf, W1va, W1vl, W2v, b1v, "v"),
+            ("check_to_var_update", W1cf, W1ca, W1cl, W2c, b1c, "c"),
+        ):
+            k1 = np.asarray(lp[prefix]["Dense_0"]["kernel"], np.float32)  # (h_in, h)
+            W1f[t] = k1[0:h].T
+            W1a[t] = k1[h : 2 * h].T
+            if input_injection:
+                W1l[t] = k1[2 * h : 3 * h].T
+            bb1[t] = np.asarray(lp[prefix]["Dense_0"]["bias"], np.float32)
+            W2[t] = np.asarray(lp[prefix]["Dense_1"]["kernel"], np.float32).T
+            b2[t] += np.asarray(lp[prefix]["Dense_1"]["bias"], np.float32)
+
+    return dict(
+        emb_w=emb_w, emb_b=emb_b, proj_w=proj_w, proj_b=proj_b,
+        W1vf=W1vf, W1cf=W1cf, W1va=W1va, W1ca=W1ca, W1vl=W1vl, W1cl=W1cl,
+        W2v=W2v, W2c=W2c, b1v=b1v, b1c=b1c, b2=b2, te=te,
+    )
+
+
+def _kernel_v3(llr_ref, w1g_ref, w1va_ref, w1l_ref, w2_ref, pcb_ref, prb_ref,
+               dte_ref, emb_ref, soft_ref,
+               feats, llr_feats, var_mean, gall, h1, pre_col, pre_row, pre_llr,
+               *, st, h: int, T: int, Bt: int, lanes: int, inject: bool):
+    Z, K, C, R = st.Z, st.K, st.C, st.R
+    packed = Bt > 1
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+
+    def roll_f32(x, s):
+        if packed:
+            s = (s % Z) * Bt
+            return pltpu.roll(x, s, 1) if s else x
+        return _roll_lanes(x, s, Z)
+
+    def lb(k):
+        return pl.ds(k * lanes, lanes)
+
+    # ---- seed: feats0 = emb(llr) + te_0 -----------------------------------
+    emb_w = emb_ref[0:h, 0:1]
+    emb_b = emb_ref[h : 2 * h, 0:1]
+    for c in range(C):
+        row = llr_ref[c : c + 1, :]
+        f0 = jnp.broadcast_to(row, (h, lanes)) * emb_w + emb_b
+        if inject:
+            llr_feats[:, lb(c)] = f0.astype(bf16)
+        for k in st.col_members[c]:
+            feats[:, lb(k)] = (f0 + dte_ref[0:h, k : k + 1]).astype(bf16)
+    # constant ones-row of the h1 scratch (carries b2 through the matmul)
+    h1[pl.ds(2 * h, 8), :] = jnp.concatenate(
+        [jnp.ones((1, K * lanes), bf16), jnp.zeros((7, K * lanes), bf16)], axis=0
+    )
+
+    inv_dc = [1.0 / max(len(st.col_members[c]), 1) for c in range(C)]
+
+    def iteration(t, carry=0, *, first: bool):
+        th = pl.ds(t * h, h)
+        t2h = pl.ds(t * 2 * h, 2 * h)
+        t3h = pl.ds(t * 3 * h, 3 * h)
+        # ---- var-relation means (VPU sums; projecting the C-wide mean is
+        # 3.8x less MXU than projecting all K edges) ------------------------
+        for c in range(C):
+            acc = jnp.zeros((h, lanes), f32)
+            for k in st.col_members[c]:
+                acc = acc + feats[:, lb(k)].astype(f32)
+            var_mean[:, lb(c)] = (acc * inv_dc[c]).astype(bf16)
+
+        # ---- whole-graph first layer + check-relation projection ----------
+        gall[:, :] = jnp.dot(w1g_ref[t3h, 0:h], feats[:, :],
+                             preferred_element_type=f32)
+        # pre_row[r] = inv_dr * sum roll(W1ca @ feats_k) + b1c  (f32 rolls)
+        for r in range(R):
+            acc = jnp.zeros((h, lanes), f32)
+            for k in st.row_members[r]:
+                acc = acc + roll_f32(gall[pl.ds(2 * h, h), lb(k)], -st.shifts[k])
+            pre_row[:, lb(r)] = acc * (
+                1.0 / max(len(st.row_members[r]), 1)
+            ) + jnp.broadcast_to(prb_ref[th, r : r + 1], (h, lanes))
+        # pre_col[c] = W1va @ var_mean + b1v (+ LLR column term)
+        pre_col[:, :] = jnp.dot(w1va_ref[th, 0:h], var_mean[:, :],
+                                preferred_element_type=f32)
+        if inject:
+            pre_llr[:, :] = jnp.dot(w1l_ref[t2h, 0:h], llr_feats[:, :],
+                                    preferred_element_type=f32)
+        for c in range(C):
+            pc = pre_col[:, lb(c)] + jnp.broadcast_to(
+                pcb_ref[th, c : c + 1], (h, lanes)
+            )
+            if inject:
+                pc = pc + pre_llr[0:h, lb(c)]
+            pre_col[:, lb(c)] = pc
+
+        # ---- per-edge epilogue -> h1 scratch ------------------------------
+        for k in range(K):
+            c_k, r_k = st.cols[k], st.rows[k]
+            pv = gall[0:h, lb(k)] + pre_col[:, lb(c_k)]
+            h1[0:h, lb(k)] = jnp.maximum(pv, 0.0).astype(bf16)
+            pc = (gall[pl.ds(h, h), lb(k)]
+                  + roll_f32(pre_row[:, lb(r_k)], st.shifts[k]))
+            if inject:
+                pc = pc + pre_llr[pl.ds(h, h), lb(c_k)]
+            h1[pl.ds(h, h), lb(k)] = jnp.maximum(pc, 0.0).astype(bf16)
+
+        # ---- whole-graph second layer + writeback -------------------------
+        out = jnp.dot(w2_ref[th, 0 : 2 * h + 8], h1[:, :],
+                      preferred_element_type=f32).astype(bf16)
+        if first:  # t = 0: no residual; te_1 delta folded into dte row 1
+            for k in range(K):
+                feats[:, lb(k)] = out[:, k * lanes : (k + 1) * lanes] + dte_ref[
+                    pl.ds(h, h), k : k + 1
+                ].astype(bf16)
+        else:
+            dth = pl.ds(t * h + h, h)
+            for k in range(K):
+                feats[:, lb(k)] = (out[:, k * lanes : (k + 1) * lanes]
+                                   + feats[:, lb(k)]
+                                   + dte_ref[dth, k : k + 1].astype(bf16))
+        return 0
+
+    iteration(0, first=True)
+    if T > 1:
+        jax.lax.fori_loop(1, T, functools.partial(iteration, first=False), 0,
+                          unroll=False)
+
+    # ---- output: proj, per-variable sum, sigmoid --------------------------
+    proj_w = emb_ref[2 * h : 3 * h, 0:1]
+    proj_b = emb_ref[3 * h : 3 * h + 1, 0:1]
+    for c in range(C):
+        acc = jnp.zeros((1, lanes), f32)
+        for k in st.col_members[c]:
+            contrib = jnp.sum(feats[:, lb(k)].astype(f32) * proj_w, axis=0,
+                              keepdims=True)
+            acc = acc + contrib + proj_b
+        combined = llr_ref[c : c + 1, :] + acc
+        soft_ref[c : c + 1, :] = 1.0 / (1.0 + jnp.exp(combined))
+
+
+def gnn_v3_vmem_bytes(qc: QCLayout, hidden_dim: int, lanes: int,
+                      input_injection: bool) -> int:
+    K, C, R = qc.num_base_edges, qc.num_base_cols, qc.num_base_rows
+    h = hidden_dim
+    bf16 = (K + (C if input_injection else 0) + C) * h * lanes * 2  # feats/llr/mean
+    bf16 += (2 * h + 8) * K * lanes * 2  # h1
+    f32 = (3 * K + C + R + (2 * C if input_injection else 0)) * h * lanes * 4
+    return bf16 + f32 + 2 * C * lanes * 4
+
+
+def make_fused_gnn_decoder_v3(
+    qc: QCLayout,
+    params,
+    num_iterations: int = 5,
+    hidden_dim: int = 64,
+    share_layers: bool = False,
+    input_injection: bool = False,
+    interpret: bool = False,
+):
+    """Element-count-reduced variant of :func:`make_fused_gnn_decoder`.
+
+    Same serving semantics (bf16 feature stream, f32 pre-activations); see
+    the design comment above `_extract_v3`.  Parity with the XLA module and
+    the v1 kernel is asserted in tests/test_pallas_gnn.py.
+    """
+    st = _GNNStructure(qc)
+    Z, C, K, h = st.Z, st.C, st.K, hidden_dim
+    n = C * Z
+    T = num_iterations
+    if h % 8:
+        raise ValueError(f"hidden_dim must be a multiple of 8, got {h}")
+    if 128 % Z == 0:
+        Bt, lanes = 128 // Z, 128
+    elif Z % 8 == 0:
+        Bt, lanes = 1, -(-Z // 128) * 128
+    else:
+        raise ValueError(f"fused GNN kernel requires Z % 8 == 0 or Z | 128, got Z={Z}")
+    need = gnn_v3_vmem_bytes(qc, h, lanes, input_injection)
+    budget = 56 * 2**20
+    if need > budget:
+        raise ValueError(
+            f"v3 GNN state ({need / 2**20:.1f} MiB) exceeds the "
+            f"{budget / 2**20:.0f} MiB scratch budget (Z={Z}, h={h})"
+        )
+
+    w = _extract_v3(params, qc, T, h, share_layers, input_injection)
+    Kpad = -(-K // 128) * 128
+
+    def stack(x, pad_to):  # (T, h, d) -> (T*h, pad_to)
+        T_, hh, d = x.shape
+        out = np.zeros((T_ * hh, pad_to), x.dtype)
+        out[:, :d] = x.reshape(T_ * hh, d)
+        return out
+
+    # first-layer + check-relation stack: per t, [W1vf; W1cf; W1ca] (3h, h)
+    w1g = np.zeros((T * 3 * h, 128), np.float32)
+    for t in range(T):
+        w1g[t * 3 * h : t * 3 * h + h, :h] = w["W1vf"][t]
+        w1g[t * 3 * h + h : t * 3 * h + 2 * h, :h] = w["W1cf"][t]
+        w1g[t * 3 * h + 2 * h : (t + 1) * 3 * h, :h] = w["W1ca"][t]
+    w1g = jnp.asarray(w1g, jnp.bfloat16)
+    w1va = jnp.asarray(stack(w["W1va"], 128), jnp.bfloat16)
+    # LLR-injection stack: per t, [W1vl; W1cl] (2h, h) — only the c-side
+    # term stays per-edge; the v-side folds into pre_col
+    w1l = np.zeros((T * 2 * h, 128), np.float32)
+    if input_injection:
+        for t in range(T):
+            w1l[t * 2 * h : t * 2 * h + h, :h] = w["W1vl"][t]
+            w1l[t * 2 * h + h : (t + 1) * 2 * h, :h] = w["W1cl"][t]
+    w1l = jnp.asarray(w1l, jnp.bfloat16)
+    # second layer with b2 ones-row column: per t, [W2v W2c b2 0...] (h, 2h+8)
+    w2 = np.zeros((T * h, max(2 * h + 8, 128)), np.float32)
+    for t in range(T):
+        w2[t * h : (t + 1) * h, : 2 * h] = np.concatenate(
+            [w["W2v"][t], w["W2c"][t]], axis=1
+        )
+        w2[t * h : (t + 1) * h, 2 * h] = w["b2"][t]
+    w2 = jnp.asarray(w2, jnp.bfloat16)
+    pcb = jnp.asarray(np.repeat(w["b1v"].reshape(T * h, 1), 128, 1), jnp.float32)
+    prb = jnp.asarray(np.repeat(w["b1c"].reshape(T * h, 1), 128, 1), jnp.float32)
+    # te delta table, applied at the END of iteration t-1 (te_T = 0):
+    # block 0 = te_0 (seed); block 1 = te_1 FULL (iteration 0 is peeled with
+    # no residual, so its writeback carries no te_0 to cancel); block t >= 2
+    # = te_t - te_{t-1} (the residual stream carries te_{t-1}).
+    dte = np.zeros(((T + 1) * h, Kpad), np.float32)
+    te = w["te"]  # (T, K, h)
+    dte[0:h, :K] = te[0].T
+    for t in range(1, T + 1):
+        nxt = te[t] if t < T else np.zeros_like(te[0])
+        prev = np.zeros_like(te[0]) if t == 1 else te[t - 1]
+        dte[t * h : (t + 1) * h, :K] = (nxt - prev).T
+    dte = jnp.asarray(dte, jnp.float32)
+    emb = np.zeros((3 * h + 8, 128), np.float32)
+    emb[0:h, :] = w["emb_w"][:, None]
+    emb[h : 2 * h, :] = w["emb_b"][:, None]
+    emb[2 * h : 3 * h, :] = w["proj_w"][:, None]
+    emb[3 * h, :] = w["proj_b"]
+    emb = jnp.asarray(emb)
+
+    kernel = functools.partial(
+        _kernel_v3, st=st, h=h, T=T, Bt=Bt, lanes=lanes, inject=input_injection,
+    )
+    vm = pltpu.VMEM
+    weights = (w1g, w1va, w1l, w2, pcb, prb, dte, emb)
+    wspecs = [
+        pl.BlockSpec(x.shape, lambda i: (0, 0), memory_space=vm) for x in weights
+    ]
+    Cp = -(-C // 8) * 8
+
+    @jax.jit
+    def decode(llr: Array) -> Array:
+        B = llr.shape[0]
+        if B % Bt:
+            pad = Bt - B % Bt
+            llr = jnp.concatenate([llr, jnp.zeros((pad, n), llr.dtype)], axis=0)
+        Bp = llr.shape[0]
+        nt = Bp // Bt
+        g = llr.reshape(nt, Bt, C, Z).transpose(0, 2, 3, 1).reshape(nt, C, Z * Bt)
+        g = jnp.pad(g, ((0, 0), (0, Cp - C), (0, lanes - Z * Bt))).reshape(
+            nt * Cp, lanes
+        )
+        soft = pl.pallas_call(
+            kernel,
+            grid=(nt,),
+            in_specs=[pl.BlockSpec((Cp, lanes), lambda i: (i, 0), memory_space=vm)]
+            + wspecs,
+            out_specs=pl.BlockSpec((Cp, lanes), lambda i: (i, 0), memory_space=vm),
+            out_shape=jax.ShapeDtypeStruct((nt * Cp, lanes), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((h, K * lanes), jnp.bfloat16),  # feats (with te)
+                pltpu.VMEM((h, (C if input_injection else 1) * lanes),
+                           jnp.bfloat16),  # llr feats
+                pltpu.VMEM((h, C * lanes), jnp.bfloat16),  # var-relation means
+                pltpu.VMEM((3 * h, K * lanes), jnp.float32),  # first-layer out
+                pltpu.VMEM((2 * h + 8, K * lanes), jnp.bfloat16),  # h1 (+ones)
+                pltpu.VMEM((h, C * lanes), jnp.float32),  # pre_col
+                pltpu.VMEM((h, st.R * lanes), jnp.float32),  # pre_row
+                pltpu.VMEM((2 * h, (C if input_injection else 1) * lanes),
+                           jnp.float32),  # per-column LLR precompute
+            ],
+            compiler_params=_COMPILER_PARAMS,
+            interpret=interpret,
+        )(g, *weights)
+        soft = (
+            soft.reshape(nt, Cp, lanes)[:, :C, : Z * Bt]
+            .reshape(nt, C, Z, Bt)
+            .transpose(0, 3, 1, 2)
+            .reshape(Bp, n)
+        )
+        return soft[:B]
+
+    return decode
+
+
+# ---------------------------------------------------------------------------
 # Corrected-mode serving kernel (flagship): min-sum + GNN corrections
 # ---------------------------------------------------------------------------
 
@@ -995,6 +1354,441 @@ def make_fused_corrected_gnn_decoder(
         )
         if return_iterations:
             # all Z lanes of a frame hold the same value; take z = 0
+            conv = out[1].reshape(nt, 8, lanes)[:, 0, :Bt].reshape(Bp)
+            return soft[:B], conv[:B]
+        return soft[:B]
+
+    return decode
+
+
+# ---------------------------------------------------------------------------
+# Corrected-mode serving kernel v2: element-count reduction (VERDICT r2 #7)
+# ---------------------------------------------------------------------------
+#
+# Applies the v3 fully-neural-kernel diet to the flagship corrected
+# decoder's GNN-correction halves, plus one structural collapse unique to
+# this decoder: the correction consumes the GNN layer output ONLY through
+# the scalar projection `corr = pw^T (W2v h1v + W2c h1c + b2) + pb`, which
+# is linear — so the entire second MLP layer + projection fold into a
+# single thin row-matmul `(pw^T [W2v W2c]) @ h1` with the constant
+# `pw^T b2 + pb` riding the h1 ones-row.  The kernel never materializes
+# the (h, lanes) layer output and never does per-edge h-reductions.
+# Remaining per-edge element work per correction: embed 2, var-mean 2,
+# projected-roll accumulate 2, pv 3, pc 4-5 — ~14 (h, lanes) blocks vs
+# ~24 in the v1 corrected kernel.  Type embeddings enter through the
+# per-edge embedding bias (embed is per-edge already, so te is FREE here).
+
+
+def _extract_corrected_v2(params, qc: QCLayout, num_iterations: int,
+                          hidden_dim: int, share_layers: bool,
+                          input_injection: bool):
+    """Params -> v2 tables: raw W1 blocks, per-edge embed bias (emb_b + te),
+    folded thin second layer.  Layer idx = 2*t (check half), 2*t+1 (var)."""
+    p = params["params"] if "params" in params else params
+    h = hidden_dim
+    T = num_iterations
+    K = qc.num_base_edges
+
+    emb_w = np.asarray(p["input_embedding"]["kernel"], np.float32).reshape(h)
+    emb_b = np.asarray(p["input_embedding"]["bias"], np.float32).reshape(h)
+    w_ch = float(np.asarray(p["w_ch"]).reshape(()))
+    alpha = float(np.asarray(p["alpha"]).reshape(()))
+
+    T2 = 2 * T
+    W1vf = np.zeros((T2, h, h), np.float32)
+    W1cf = np.zeros((T2, h, h), np.float32)
+    W1va = np.zeros((T2, h, h), np.float32)
+    W1ca = np.zeros((T2, h, h), np.float32)
+    W1vl = np.zeros((T2, h, h), np.float32)
+    W1cl = np.zeros((T2, h, h), np.float32)
+    b1v = np.zeros((T2, h), np.float32)
+    b1c = np.zeros((T2, h), np.float32)
+    w2p = np.zeros((T2, 2 * h), np.float32)  # pw^T [W2v W2c]
+    cconst = np.zeros((T2,), np.float32)  # pw . (b2v + b2c) + pb
+    ebias = np.zeros((T2, h, K), np.float32)  # emb_b + te per edge
+
+    for t in range(T):
+        for half, prefix in ((0, "check"), (1, "var")):
+            name = prefix if share_layers else f"{prefix}_{t}"
+            lp = p[f"{name}_gnn"]
+            pr = p[f"{name}_proj"]
+            idx = 2 * t + half
+            pw = np.asarray(pr["kernel"], np.float32).reshape(h)
+            pb = float(np.asarray(pr["bias"]).reshape(()))
+            te = np.asarray(lp["message_type_embeddings"], np.float32)
+            ebias[idx] = emb_b[:, None] + te[np.asarray(qc.edge_type)].T
+            b2sum = np.zeros(h, np.float32)
+            for rel, W1f, W1a, W1l, bb1, w2half in (
+                ("var_to_check_update", W1vf, W1va, W1vl, b1v, slice(0, h)),
+                ("check_to_var_update", W1cf, W1ca, W1cl, b1c, slice(h, 2 * h)),
+            ):
+                k1 = np.asarray(lp[rel]["Dense_0"]["kernel"], np.float32)
+                W1f[idx] = k1[0:h].T
+                W1a[idx] = k1[h : 2 * h].T
+                if input_injection:
+                    W1l[idx] = k1[2 * h : 3 * h].T
+                bb1[idx] = np.asarray(lp[rel]["Dense_0"]["bias"], np.float32)
+                k2 = np.asarray(lp[rel]["Dense_1"]["kernel"], np.float32)  # (h, h)
+                w2p[idx, w2half] = pw @ k2.T
+                b2sum += np.asarray(lp[rel]["Dense_1"]["bias"], np.float32)
+            cconst[idx] = float(pw @ b2sum) + pb
+
+    return dict(
+        emb_w=emb_w, emb_b=emb_b, w_ch=w_ch, alpha=alpha,
+        W1vf=W1vf, W1cf=W1cf, W1va=W1va, W1ca=W1ca, W1vl=W1vl, W1cl=W1cl,
+        b1v=b1v, b1c=b1c, w2p=w2p, cconst=cconst, ebias=ebias,
+    )
+
+
+def _corrected_kernel_v2(llr_ref, w1g_ref, w1va_ref, w1l_ref, w2p_ref,
+                         pcb_ref, prb_ref, ebias_ref, emb_ref, soft_ref,
+                         *rest, st, h: int, T: int, Bt: int, lanes: int,
+                         inject: bool, w_ch: float, alpha: float,
+                         early_exit: bool = False, conv_out: bool = False):
+    if conv_out:
+        conv_ref, *rest = rest
+    (v2c, c2v, edge_llr, feats, llr_feats, var_mean, gall, h1,
+     pre_col, pre_row, pre_llr, colsum, frozen, conv_buf) = rest
+    Z, K, C, R = st.Z, st.K, st.C, st.R
+    packed = Bt > 1
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+
+    def roll_f32(x, s):
+        if packed:
+            s = (s % Z) * Bt
+            return pltpu.roll(x, s, 1) if s else x
+        return _roll_lanes(x, s, Z)
+
+    def lb(k):
+        return pl.ds(k * lanes, lanes)
+
+    emb_w = emb_ref[0:h, 0:1]
+    emb_b = emb_ref[h : 2 * h, 0:1]
+
+    # ---- seed ------------------------------------------------------------
+    for c in range(C):
+        row = llr_ref[c : c + 1, :]
+        if inject:
+            llr_feats[:, lb(c)] = (
+                jnp.broadcast_to(row, (h, lanes)) * emb_w + emb_b
+            ).astype(bf16)
+        for k in st.col_members[c]:
+            edge_llr[k : k + 1, :] = row
+            v2c[k : k + 1, :] = row
+            c2v[k : k + 1, :] = jnp.zeros((1, lanes), f32)
+    h1[pl.ds(2 * h, 8), :] = jnp.concatenate(
+        [jnp.ones((1, K * lanes), bf16), jnp.zeros((7, K * lanes), bf16)], axis=0
+    )
+
+    inv_dc = [1.0 / max(len(st.col_members[c]), 1) for c in range(C)]
+
+    if early_exit:
+        frozen[:] = jnp.zeros_like(frozen)
+        conv_buf[:] = jnp.zeros_like(conv_buf)
+
+    def gnn_correction(idx, msgs, out_msgs):
+        """out_msgs[k] += pw^T GNNLayer_idx(embed(msgs))[k]  for every edge."""
+        ih = pl.ds(idx * h, h)
+        i2h = pl.ds(idx * 2 * h, 2 * h)
+        i3h = pl.ds(idx * 3 * h, 3 * h)
+        # embed with the per-edge bias (emb_b + te): te costs nothing here
+        for k in range(K):
+            feats[:, lb(k)] = (
+                jnp.broadcast_to(msgs[k : k + 1, :], (h, lanes)) * emb_w
+                + ebias_ref[ih, k : k + 1]
+            ).astype(bf16)
+        for c in range(C):
+            acc = jnp.zeros((h, lanes), f32)
+            for k in st.col_members[c]:
+                acc = acc + feats[:, lb(k)].astype(f32)
+            var_mean[:, lb(c)] = (acc * inv_dc[c]).astype(bf16)
+        gall[:, :] = jnp.dot(w1g_ref[i3h, 0:h], feats[:, :],
+                             preferred_element_type=f32)
+        for r in range(R):
+            acc = jnp.zeros((h, lanes), f32)
+            for k in st.row_members[r]:
+                acc = acc + roll_f32(gall[pl.ds(2 * h, h), lb(k)], -st.shifts[k])
+            pre_row[:, lb(r)] = acc * (
+                1.0 / max(len(st.row_members[r]), 1)
+            ) + jnp.broadcast_to(prb_ref[ih, r : r + 1], (h, lanes))
+        pre_col[:, :] = jnp.dot(w1va_ref[ih, 0:h], var_mean[:, :],
+                                preferred_element_type=f32)
+        if inject:
+            pre_llr[:, :] = jnp.dot(w1l_ref[i2h, 0:h], llr_feats[:, :],
+                                    preferred_element_type=f32)
+        for c in range(C):
+            pc = pre_col[:, lb(c)] + jnp.broadcast_to(
+                pcb_ref[ih, c : c + 1], (h, lanes)
+            )
+            if inject:
+                pc = pc + pre_llr[0:h, lb(c)]
+            pre_col[:, lb(c)] = pc
+        for k in range(K):
+            c_k, r_k = st.cols[k], st.rows[k]
+            pv = gall[0:h, lb(k)] + pre_col[:, lb(c_k)]
+            h1[0:h, lb(k)] = jnp.maximum(pv, 0.0).astype(bf16)
+            pc = (gall[pl.ds(h, h), lb(k)]
+                  + roll_f32(pre_row[:, lb(r_k)], st.shifts[k]))
+            if inject:
+                pc = pc + pre_llr[pl.ds(h, h), lb(c_k)]
+            h1[pl.ds(h, h), lb(k)] = jnp.maximum(pc, 0.0).astype(bf16)
+        # thin folded second layer + projection (constant in the ones-row)
+        corr = jnp.dot(w2p_ref[pl.ds(idx * 8, 8), 0 : 2 * h + 8], h1[:, :],
+                       preferred_element_type=f32)
+        for k in range(K):
+            out_msgs[k : k + 1, :] = (
+                out_msgs[k : k + 1, :] + corr[0:1, k * lanes : (k + 1) * lanes]
+            )
+
+    def iteration(t, _):
+        # ---- check half: scaled min-sum + GNN correction -------------------
+        for r in range(R):
+            members = st.row_members[r]
+            rolled = []
+            m1 = jnp.full((1, lanes), _BIG, f32)
+            m2 = jnp.full((1, lanes), _BIG, f32)
+            sp = jnp.ones((1, lanes), f32)
+            for k in members:
+                x = roll_f32(v2c[k : k + 1, :], -st.shifts[k])
+                rolled.append(x)
+                sgn = jnp.where(x < 0, -1.0, 1.0)
+                mag = jnp.abs(x)
+                sp = sp * sgn
+                nm = jnp.minimum(mag, m1)
+                m2 = jnp.minimum(jnp.maximum(mag, m1), m2)
+                m1 = nm
+            for k, x in zip(members, rolled):
+                sgn = jnp.where(x < 0, -1.0, 1.0)
+                mag = jnp.abs(x)
+                loo = jnp.where(mag > m1, m1, m2)
+                loo = jnp.where(loo < _BIG, loo, 0.0)
+                c2v[k : k + 1, :] = roll_f32(alpha * sp * sgn * loo, st.shifts[k])
+        gnn_correction(2 * t, v2c, c2v)
+
+        # ---- var half: leave-one-out sum + GNN correction ------------------
+        for c in range(C):
+            acc = jnp.zeros((1, lanes), f32)
+            for k in st.col_members[c]:
+                acc = acc + c2v[k : k + 1, :]
+            colsum[c : c + 1, :] = acc
+        for k in range(K):
+            loo = colsum[st.cols[k] : st.cols[k] + 1, :] - c2v[k : k + 1, :]
+            v2c[k : k + 1, :] = loo + w_ch * edge_llr[k : k + 1, :]
+        gnn_correction(2 * t + 1, c2v, v2c)
+
+        # ---- syndrome tracking + first-valid freezing (early exit) --------
+        if early_exit:
+            bits_now = [
+                jnp.where(llr_ref[c : c + 1, :] + colsum[c : c + 1, :] < 0.0,
+                          1.0, 0.0)
+                for c in range(C)
+            ]
+            viol = jnp.zeros((1, lanes), f32)
+            for r in range(R):
+                parity = jnp.zeros((1, lanes), f32)
+                for k in st.row_members[r]:
+                    parity = parity + roll_f32(bits_now[st.cols[k]], -st.shifts[k])
+                parity = parity - 2.0 * jnp.floor(parity * 0.5)
+                viol = viol + parity
+            s = Bt
+            while s < Z * Bt:
+                viol = viol + pltpu.roll(viol, s, 1)
+                s *= 2
+            ok = viol == 0.0
+            newly = jnp.logical_and(ok, conv_buf[0:1, :] == 0.0)
+            for c in range(C):
+                frozen[c : c + 1, :] = jnp.where(newly, bits_now[c],
+                                                 frozen[c : c + 1, :])
+            conv_buf[0:1, :] = jnp.where(newly, jnp.float32(t) + 1.0,
+                                         conv_buf[0:1, :])
+        return 0
+
+    _run_iterations(iteration, T, early_exit,
+                    lambda: jnp.min(conv_buf[0:1, :]) > 0.0)
+
+    # ---- output: llr + colsum(final c2v) -> soft bits ----------------------
+    if early_exit:
+        conv = conv_buf[0:1, :] > 0.0
+    for c in range(C):
+        acc = jnp.zeros((1, lanes), f32)
+        for k in st.col_members[c]:
+            acc = acc + c2v[k : k + 1, :]
+        combined = llr_ref[c : c + 1, :] + acc
+        soft = 1.0 / (1.0 + jnp.exp(combined))
+        if early_exit:
+            soft = jnp.where(conv, frozen[c : c + 1, :], soft)
+        soft_ref[c : c + 1, :] = soft
+    if conv_out:
+        it = jnp.where(conv, conv_buf[0:1, :], jnp.float32(T))
+        conv_ref[:] = jnp.broadcast_to(it, conv_ref.shape)
+
+
+def corrected_v2_vmem_bytes(qc: QCLayout, hidden_dim: int, lanes: int,
+                            input_injection: bool) -> int:
+    K, C, R = qc.num_base_edges, qc.num_base_cols, qc.num_base_rows
+    h = hidden_dim
+    bf16 = (K + (C if input_injection else 0) + C) * h * lanes * 2
+    bf16 += (2 * h + 8) * K * lanes * 2  # h1
+    f32 = 3 * K * h * lanes * 4  # gall
+    f32 += (C + R + (2 * C if input_injection else 0)) * h * lanes * 4
+    f32 += 3 * K * lanes * 4 + 2 * C * lanes * 4  # messages + colsum/frozen
+    return bf16 + f32
+
+
+def make_fused_corrected_gnn_decoder_v2(
+    qc: QCLayout,
+    params,
+    num_iterations: int = 5,
+    hidden_dim: int = 64,
+    share_layers: bool = False,
+    input_injection: bool = True,
+    early_exit: bool = False,
+    return_iterations: bool = False,
+    interpret: bool = False,
+):
+    """Element-count-reduced serving kernel for the flagship corrected
+    decoder (same semantics/flags as :func:`make_fused_corrected_gnn_decoder`;
+    see the design comment above `_extract_corrected_v2`)."""
+    st = _GNNStructure(qc)
+    Z, C, K, h = st.Z, st.C, st.K, hidden_dim
+    n = C * Z
+    T = num_iterations
+    if h % 8:
+        raise ValueError(f"hidden_dim must be a multiple of 8, got {h}")
+    if 128 % Z == 0:
+        Bt, lanes = 128 // Z, 128
+    elif Z % 8 == 0:
+        Bt, lanes = 1, -(-Z // 128) * 128
+    else:
+        raise ValueError(f"corrected GNN kernel requires Z % 8 == 0 or Z | 128, got Z={Z}")
+    if early_exit and (lanes != Z * Bt or Z & (Z - 1)):
+        raise ValueError(
+            f"early_exit needs the packed lane layout with power-of-two Z "
+            f"(Z | 128); got Z={Z}"
+        )
+    if return_iterations and not early_exit:
+        raise ValueError("return_iterations requires early_exit=True")
+    need = corrected_v2_vmem_bytes(qc, h, lanes, input_injection)
+    budget = 56 * 2**20
+    if need > budget:
+        raise ValueError(
+            f"corrected v2 state ({need / 2**20:.1f} MiB) exceeds the "
+            f"{budget / 2**20:.0f} MiB scratch budget (Z={Z}, h={h})"
+        )
+
+    w = _extract_corrected_v2(params, qc, T, h, share_layers, input_injection)
+    T2 = 2 * T
+    Kpad = -(-K // 128) * 128
+
+    w1g = np.zeros((T2 * 3 * h, 128), np.float32)
+    for i in range(T2):
+        w1g[i * 3 * h : i * 3 * h + h, :h] = w["W1vf"][i]
+        w1g[i * 3 * h + h : i * 3 * h + 2 * h, :h] = w["W1cf"][i]
+        w1g[i * 3 * h + 2 * h : (i + 1) * 3 * h, :h] = w["W1ca"][i]
+    w1g = jnp.asarray(w1g, jnp.bfloat16)
+
+    def stack(x, pad_to):
+        T_, hh, d = x.shape
+        out = np.zeros((T_ * hh, pad_to), x.dtype)
+        out[:, :d] = x.reshape(T_ * hh, d)
+        return out
+
+    w1va = jnp.asarray(stack(w["W1va"], 128), jnp.bfloat16)
+    w1l = np.zeros((T2 * 2 * h, 128), np.float32)
+    if input_injection:
+        for i in range(T2):
+            w1l[i * 2 * h : i * 2 * h + h, :h] = w["W1vl"][i]
+            w1l[i * 2 * h + h : (i + 1) * 2 * h, :h] = w["W1cl"][i]
+    w1l = jnp.asarray(w1l, jnp.bfloat16)
+    # thin folded second layer: 8 sublane rows per idx (row 0 live), with
+    # the constant in the ones-row column 2h
+    w2p = np.zeros((T2 * 8, max(2 * h + 8, 128)), np.float32)
+    for i in range(T2):
+        w2p[i * 8, 0 : 2 * h] = w["w2p"][i]
+        w2p[i * 8, 2 * h] = w["cconst"][i]
+    w2p = jnp.asarray(w2p, jnp.bfloat16)
+    pcb = jnp.asarray(np.repeat(w["b1v"].reshape(T2 * h, 1), 128, 1), jnp.float32)
+    prb = jnp.asarray(np.repeat(w["b1c"].reshape(T2 * h, 1), 128, 1), jnp.float32)
+    ebias = jnp.asarray(
+        np.concatenate(
+            [np.pad(w["ebias"][i], ((0, 0), (0, Kpad - K))) for i in range(T2)],
+            axis=0,
+        ),
+        jnp.float32,
+    )
+    emb = np.zeros((2 * h, 128), np.float32)
+    emb[0:h, :] = w["emb_w"][:, None]
+    emb[h : 2 * h, :] = w["emb_b"][:, None]
+    emb = jnp.asarray(emb)
+
+    kernel = functools.partial(
+        _corrected_kernel_v2, st=st, h=h, T=T, Bt=Bt, lanes=lanes,
+        inject=input_injection, w_ch=w["w_ch"], alpha=w["alpha"],
+        early_exit=early_exit, conv_out=return_iterations,
+    )
+    vm = pltpu.VMEM
+    weights = (w1g, w1va, w1l, w2p, pcb, prb, ebias, emb)
+    wspecs = [
+        pl.BlockSpec(x.shape, lambda i: (0, 0), memory_space=vm) for x in weights
+    ]
+    Cp = -(-C // 8) * 8
+
+    @jax.jit
+    def decode(llr: Array) -> Array:
+        B = llr.shape[0]
+        if B % Bt:
+            pad = Bt - B % Bt
+            llr = jnp.concatenate([llr, jnp.zeros((pad, n), llr.dtype)], axis=0)
+        Bp = llr.shape[0]
+        nt = Bp // Bt
+        g = llr.reshape(nt, Bt, C, Z).transpose(0, 2, 3, 1).reshape(nt, C, Z * Bt)
+        g = jnp.pad(g, ((0, 0), (0, Cp - C), (0, lanes - Z * Bt))).reshape(
+            nt * Cp, lanes
+        )
+        tile_spec = pl.BlockSpec((Cp, lanes), lambda i: (i, 0), memory_space=vm)
+        out_specs = [tile_spec]
+        out_shape = [jax.ShapeDtypeStruct((nt * Cp, lanes), jnp.float32)]
+        if return_iterations:
+            out_specs.append(
+                pl.BlockSpec((8, lanes), lambda i: (i, 0), memory_space=vm)
+            )
+            out_shape.append(jax.ShapeDtypeStruct((nt * 8, lanes), jnp.float32))
+        out = pl.pallas_call(
+            kernel,
+            grid=(nt,),
+            in_specs=[tile_spec] + wspecs,
+            out_specs=out_specs if return_iterations else out_specs[0],
+            out_shape=out_shape if return_iterations else out_shape[0],
+            scratch_shapes=[
+                pltpu.VMEM((K, lanes), jnp.float32),  # v2c
+                pltpu.VMEM((K, lanes), jnp.float32),  # c2v
+                pltpu.VMEM((K, lanes), jnp.float32),  # edge llr
+                pltpu.VMEM((h, K * lanes), jnp.bfloat16),  # embedded feats
+                pltpu.VMEM((h, (C if input_injection else 1) * lanes),
+                           jnp.bfloat16),  # llr feats
+                pltpu.VMEM((h, C * lanes), jnp.bfloat16),  # var-relation means
+                pltpu.VMEM((3 * h, K * lanes), jnp.float32),  # first-layer out
+                pltpu.VMEM((2 * h + 8, K * lanes), jnp.bfloat16),  # h1 (+ones)
+                pltpu.VMEM((h, C * lanes), jnp.float32),  # pre_col
+                pltpu.VMEM((h, st.R * lanes), jnp.float32),  # pre_row
+                pltpu.VMEM((2 * h, (C if input_injection else 1) * lanes),
+                           jnp.float32),  # per-column LLR precompute
+                pltpu.VMEM((C, lanes), jnp.float32),  # f32 colsum
+                pltpu.VMEM((C, lanes), jnp.float32),  # frozen bits
+                pltpu.VMEM((8, lanes), jnp.float32),  # conv iter
+            ],
+            compiler_params=_COMPILER_PARAMS,
+            interpret=interpret,
+        )(g, *weights)
+        soft = out[0] if return_iterations else out
+        soft = (
+            soft.reshape(nt, Cp, lanes)[:, :C, : Z * Bt]
+            .reshape(nt, C, Z, Bt)
+            .transpose(0, 3, 1, 2)
+            .reshape(Bp, n)
+        )
+        if return_iterations:
             conv = out[1].reshape(nt, 8, lanes)[:, 0, :Bt].reshape(Bp)
             return soft[:B], conv[:B]
         return soft[:B]

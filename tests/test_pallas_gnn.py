@@ -106,6 +106,63 @@ def test_v2_matches_v1_kernel():
     np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), atol=2e-2)
 
 
+@pytest.mark.parametrize("name,Z,inject,share", [
+    ("toy_4x8", 4, False, False),
+    ("toy_4x8", 4, True, False),
+    ("toy_4x8", 8, True, True),
+    ("nr_2_0_4", 4, True, False),
+])
+def test_v3_matches_flax_module(name, Z, inject, share):
+    """Element-count-reduced kernel (te in the feature stream, folded
+    biases, whole-graph matmuls): same parity gate as v1/v2."""
+    from ldpc_tpu.ops.pallas_gnn import make_fused_gnn_decoder_v3
+
+    qc = qc_layout(get_base_graph(name), Z)
+    plan = qc_msg.make_plan(qc)
+    n = plan.C * plan.Z
+    iters, h = 3, 16
+    model = create_message_gnn_decoder(
+        plan, num_iterations=iters, hidden_dim=h,
+        input_injection=inject, share_layers=share,
+    )
+    llr = bpsk_awgn_llr(jax.random.PRNGKey(0), jnp.zeros((4, n)), 2.0)
+    params = _trained_like_params(model, llr, plan, seed=3)
+    soft_ref, _ = model.apply(params, llr, plan)
+
+    fused = make_fused_gnn_decoder_v3(
+        qc, params, num_iterations=iters, hidden_dim=h,
+        share_layers=share, input_injection=inject, interpret=True,
+    )
+    soft = fused(llr)
+    a, b = np.asarray(soft), np.asarray(soft_ref)
+    np.testing.assert_allclose(a, b, atol=3e-2)
+    confident = np.abs(b - 0.5) > 0.05
+    assert confident.mean() > 0.5
+    assert ((a > 0.5) == (b > 0.5))[confident].all()
+
+
+def test_v3_single_iteration_and_residual_algebra():
+    """T=1 (peeled path only) and T=2 (one residual step) exercise the
+    te-delta bookkeeping: block 1 is the FULL te_1 for the unresidualed
+    iteration-0 writeback, later blocks are deltas carried by the stream."""
+    from ldpc_tpu.ops.pallas_gnn import make_fused_gnn_decoder_v3
+
+    qc = qc_layout(get_base_graph("toy_4x8"), 4)
+    plan = qc_msg.make_plan(qc)
+    n = plan.C * plan.Z
+    for iters in (1, 2):
+        model = create_message_gnn_decoder(plan, num_iterations=iters,
+                                           hidden_dim=16)
+        llr = bpsk_awgn_llr(jax.random.PRNGKey(4), jnp.zeros((4, n)), 2.0)
+        params = _trained_like_params(model, llr, plan, seed=7)
+        soft_ref, _ = model.apply(params, llr, plan)
+        fused = make_fused_gnn_decoder_v3(qc, params, num_iterations=iters,
+                                          hidden_dim=16, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(fused(llr)), np.asarray(soft_ref), atol=3e-2
+        )
+
+
 def test_untrained_is_channel_passthrough():
     """Zero-init output projection: fused kernel returns sigmoid(-llr)."""
     qc = qc_layout(get_base_graph("toy_4x8"), 4)
@@ -302,3 +359,92 @@ def test_multi_tile_batch():
     # fails if tile boundaries mis-slice the padded rows
     batch1 = fused(llr[:1])
     np.testing.assert_allclose(np.asarray(soft[:1]), np.asarray(batch1), atol=1e-6)
+
+
+class TestCorrectedServingV2:
+    """Element-count-reduced corrected serving kernel (v2): same gates as
+    the v1 kernel — zero-init exactness, module parity, early exit."""
+
+    def _setup(self, name="toy_4x8", Z=4, iters=3, h=16, inject=True):
+        from ldpc_tpu.models.message_gnn import create_corrected_minsum_gnn_decoder
+
+        qc = qc_layout(get_base_graph(name), Z)
+        plan = qc_msg.make_plan(qc)
+        n = plan.C * plan.Z
+        model = create_corrected_minsum_gnn_decoder(
+            plan, num_iterations=iters, hidden_dim=h, input_injection=inject
+        )
+        llr = bpsk_awgn_llr(jax.random.PRNGKey(1), jnp.zeros((4, n)), 1.0)
+        return qc, plan, n, model, llr
+
+    def test_zero_init_is_exact_minsum(self):
+        """Zero corrections: w2p = pw^T W2 = 0 and cconst = 0, so the thin
+        folded projection is exactly zero and the f32 min-sum skeleton is
+        bit-exact."""
+        from ldpc_tpu.models.classical import decode_min_sum  # noqa: F401
+        from ldpc_tpu.ops.pallas_gnn import make_fused_corrected_gnn_decoder_v2
+
+        qc, plan, n, model, llr = self._setup(iters=4)
+        params = model.init(jax.random.PRNGKey(2), llr, plan)
+        fused = make_fused_corrected_gnn_decoder_v2(
+            qc, params, num_iterations=4, hidden_dim=16, interpret=True
+        )
+        soft = fused(llr)
+        llr_cz = qc_msg.llr_to_cz(llr, plan)
+        edge = llr_cz[plan.edge_col]
+        v2c = edge
+        for _ in range(4):
+            c2v = qc_msg.check_update_minsum(v2c, plan, alpha=0.8)
+            v2c = qc_msg.col_sum(c2v, plan)[plan.edge_col] - c2v + edge
+        expect = jax.nn.sigmoid(-qc_msg.cz_to_llr(llr_cz + qc_msg.col_sum(c2v, plan)))
+        np.testing.assert_allclose(np.asarray(soft), np.asarray(expect), atol=1e-5)
+
+    @pytest.mark.parametrize("inject", [False, True])
+    def test_matches_flax_module(self, inject):
+        from ldpc_tpu.ops.pallas_gnn import make_fused_corrected_gnn_decoder_v2
+
+        qc, plan, n, model, llr = self._setup(inject=inject)
+        params = _trained_like_params(model, llr, plan, seed=9)
+        soft_ref, _ = model.apply(params, llr, plan)
+        fused = make_fused_corrected_gnn_decoder_v2(
+            qc, params, num_iterations=3, hidden_dim=16,
+            input_injection=inject, interpret=True,
+        )
+        a, b = np.asarray(fused(llr)), np.asarray(soft_ref)
+        np.testing.assert_allclose(a, b, atol=3e-2)
+        confident = np.abs(b - 0.5) > 0.05
+        assert confident.mean() > 0.5
+        assert ((a > 0.5) == (b > 0.5))[confident].all()
+
+    def test_matches_v1_kernel_z32(self):
+        """v1 and v2 corrected kernels agree at the production Z=32 layout
+        (Bt=4 packing) with trained-like params."""
+        from ldpc_tpu.ops.pallas_gnn import (
+            make_fused_corrected_gnn_decoder,
+            make_fused_corrected_gnn_decoder_v2,
+        )
+
+        qc, plan, n, model, llr = self._setup(Z=32, iters=2, h=16)
+        params = _trained_like_params(model, llr, plan, seed=11)
+        kw = dict(num_iterations=2, hidden_dim=16, interpret=True)
+        v1 = make_fused_corrected_gnn_decoder(qc, params, **kw)(llr)
+        v2 = make_fused_corrected_gnn_decoder_v2(qc, params, **kw)(llr)
+        np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), atol=2e-2)
+
+    def test_early_exit_zero_init_matches_minsum_early_exit(self):
+        from ldpc_tpu.ops.pallas_gnn import make_fused_corrected_gnn_decoder_v2
+        from ldpc_tpu.ops.pallas_minsum import make_fused_minsum
+
+        qc, plan, n, model, _ = self._setup(iters=8)
+        llr = bpsk_awgn_llr(jax.random.PRNGKey(7), jnp.zeros((8, n)), 2.0)
+        params = model.init(jax.random.PRNGKey(8), llr, plan)
+        fused = make_fused_corrected_gnn_decoder_v2(
+            qc, params, num_iterations=8, hidden_dim=16,
+            early_exit=True, return_iterations=True, interpret=True,
+        )
+        ms = make_fused_minsum(qc, 8, 0.8, early_exit=True, interpret=True)
+        soft, conv = fused(llr)
+        bits_ms, conv_ms = ms(llr)
+        np.testing.assert_array_equal(np.asarray(soft) > 0.5,
+                                      np.asarray(bits_ms) > 0.5)
+        np.testing.assert_array_equal(np.asarray(conv), np.asarray(conv_ms))

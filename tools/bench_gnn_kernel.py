@@ -54,8 +54,10 @@ def main() -> None:
     from ldpc_tpu.ops import qc_msg
     from ldpc_tpu.ops.pallas_gnn import (
         make_fused_corrected_gnn_decoder,
+        make_fused_corrected_gnn_decoder_v2,
         make_fused_gnn_decoder,
         make_fused_gnn_decoder_v2,
+        make_fused_gnn_decoder_v3,
     )
     from ldpc_tpu.training import LDPCDecoderTrainer
     from ldpc_tpu.utils import bpsk_awgn_llr
@@ -77,11 +79,13 @@ def main() -> None:
                       None if args.fresh else args.gnn_checkpoint,
                       create_message_gnn_decoder,
                       [("fused_v1", make_fused_gnn_decoder),
-                       ("fused_v2", make_fused_gnn_decoder_v2)]))
+                       ("fused_v2", make_fused_gnn_decoder_v2),
+                       ("fused_v3", make_fused_gnn_decoder_v3)]))
     if not args.fresh and Path(args.corrected_checkpoint).exists():
         cases.append(("corrected_gnn", args.corrected_checkpoint,
                       create_corrected_minsum_gnn_decoder,
-                      [("fused", make_fused_corrected_gnn_decoder)]))
+                      [("fused", make_fused_corrected_gnn_decoder),
+                       ("fused_v2", make_fused_corrected_gnn_decoder_v2)]))
 
     rl = gnn_roofline(qc, args.hidden, args.iters, input_injection=True)
     bounds = rl.bound_bits_per_s(n)
