@@ -32,6 +32,24 @@ def test_two_process_launch_matches_single_process():
     assert result["sweep_bit_identical_to_single_process"]
 
 
+def test_two_process_z32_flagship_workload():
+    """The Z=32 production code through the real process boundary: sharded
+    min-sum sweep at flagship shapes plus the fused-kernel `shard_decode`
+    path (interpret mode), bit-identical to a single-process run —
+    VERDICT r2 item 8."""
+    out = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "multihost_launch.py"),
+         "--num-processes", "2", "--devices-per-process", "2",
+         "--workload", "z32"],
+        env=_env(), capture_output=True, text=True, timeout=540,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    result = json.loads(out.stdout.strip().splitlines()[-1])
+    assert result["ok"] and result["workload"] == "z32"
+    assert result["sweep_bit_identical_to_single_process"]
+    assert result["fused_bits_checksum"] is not None
+
+
 def test_distributed_init_fails_loudly():
     """A bad coordinator must NOT silently fall back to single-process.
 

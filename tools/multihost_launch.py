@@ -46,6 +46,58 @@ def find_free_port() -> int:
 # ---------------------------------------------------------------------------
 
 
+def run_workload_z32(mesh) -> dict:
+    """Production-shape workload (VERDICT r2 item 8): the Z=32 flagship code
+    through the real process boundary — a sharded min-sum MC sweep at the
+    shapes where sharding bugs live, plus the `shard_decode` fused-kernel
+    path (Pallas interpret mode on CPU; the kernel is a custom call the
+    partitioner cannot split, so it must run inside shard_map — see
+    `ldpc_tpu.parallel.sharding.shard_decode`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ldpc_tpu.codes import get_base_graph, qc_layout
+    from ldpc_tpu.models.classical import decode_min_sum
+    from ldpc_tpu.ops import qc_msg
+    from ldpc_tpu.ops.pallas_minsum import make_fused_minsum
+    from ldpc_tpu.parallel.sharding import mc_sweep, shard_decode
+    from ldpc_tpu.utils import bpsk_awgn_llr
+
+    qc = qc_layout(get_base_graph("nr_2_0_32"), 32)
+    plan = qc_msg.make_plan(qc)
+    n = plan.C * plan.Z  # 1664
+
+    sweep = mc_sweep(
+        lambda llr: decode_min_sum(llr, plan, 10, 0.75).bits,
+        plan,
+        snr_range=[-2.0, 0.0],
+        batch_size=16,
+        num_trials=2,
+    )
+
+    # Fused-kernel serving path across the process boundary.  The LLR batch
+    # is generated inside jit from a partitionable threefry key, so every
+    # process sees the same global realization; bits.sum() is then an
+    # integer checksum that must be bit-identical across any partitioning.
+    fused = make_fused_minsum(qc, max_iterations=5, alpha=0.75,
+                              batch_tile=8, interpret=True)
+    ndev = len(jax.devices())
+    B = 2 * ndev
+
+    @jax.jit
+    def make_llr(key):
+        return bpsk_awgn_llr(key, jnp.zeros((B, n)), 0.0)
+
+    decode = shard_decode(lambda llr: fused(llr)[0], mesh)
+    with mesh:
+        bits = decode(make_llr(jax.random.PRNGKey(11)))
+    return {
+        "sweep": sweep,
+        "fused_bits_checksum": int(jnp.asarray(bits).sum()),
+        "fused_batch": B,
+    }
+
+
 def run_workload(mesh, steps: int) -> dict:
     """The distributed workload: sharded MC sweep + sharded training."""
     import jax
@@ -108,7 +160,10 @@ def worker(args) -> None:
     assert len(jax.devices()) == expected, (len(jax.devices()), expected)
     mesh = make_mesh(devices=jax.devices())
 
-    out = run_workload(mesh, steps=args.steps)
+    if args.workload == "z32":
+        out = run_workload_z32(mesh)
+    else:
+        out = run_workload(mesh, steps=args.steps)
     out["process_count"] = jax.process_count()
     out["num_devices"] = len(jax.devices())
     dest = Path(args.out_dir) / f"worker_{args.process_id}.json"
@@ -122,7 +177,8 @@ def worker(args) -> None:
 # ---------------------------------------------------------------------------
 
 
-def launch(num_processes: int, devices_per_process: int, steps: int, timeout: int) -> dict:
+def launch(num_processes: int, devices_per_process: int, steps: int, timeout: int,
+           workload: str = "toy") -> dict:
     """Run the workload at N processes and at 1 process; assert identical.
 
     Returns the comparison dict (also printed as JSON on stdout).
@@ -136,7 +192,7 @@ def launch(num_processes: int, devices_per_process: int, steps: int, timeout: in
 
         def spawn(np_, pid, dev_per_proc):
             return subprocess.Popen(
-                [sys.executable, __file__, "--worker",
+                [sys.executable, __file__, "--worker", "--workload", workload,
                  "--num-processes", str(np_), "--process-id", str(pid),
                  "--devices-per-process", str(dev_per_proc),
                  "--port", str(port), "--steps", str(steps), "--out-dir", td],
@@ -165,26 +221,37 @@ def launch(num_processes: int, devices_per_process: int, steps: int, timeout: in
             raise SystemExit(f"single-process reference failed:\n{out}")
         single = json.loads((Path(td) / "worker_0.json").read_text())
 
+    exact_keys = [k for k in ("sweep", "fused_bits_checksum", "fused_batch",
+                              "losses", "param_abs_sum") if k in multi[0]]
     for i, w in enumerate(multi):
         assert w["process_count"] == num_processes, w
-        for k in ("sweep", "losses", "param_abs_sum"):
+        for k in exact_keys:
             assert w[k] == multi[0][k], f"worker {i} disagrees on {k}"
-    # MC error counts are integer-valued sums: the N-process sweep must be a
-    # bit-identical re-partition of the single-process one.  Scalar float
-    # reductions (loss mean, param checksum) legitimately reorder across the
-    # process boundary (gloo all-reduce vs in-process reduction), so they
-    # get a tight ulp-level tolerance instead of equality.
+    # MC error counts and decode-bit checksums are integer-valued sums: the
+    # N-process run must be a bit-identical re-partition of the
+    # single-process one.  Scalar float reductions (loss mean, param
+    # checksum) legitimately reorder across the process boundary (gloo
+    # all-reduce vs in-process reduction), so they get a tight ulp-level
+    # tolerance instead of equality.
     assert multi[0]["sweep"] == single["sweep"], (multi[0]["sweep"], single["sweep"])
-    for a, b in zip(multi[0]["losses"], single["losses"], strict=True):
+    if "fused_bits_checksum" in multi[0]:
+        assert multi[0]["fused_bits_checksum"] == single["fused_bits_checksum"], (
+            multi[0]["fused_bits_checksum"], single["fused_bits_checksum"]
+        )
+    for a, b in zip(multi[0].get("losses", []), single.get("losses", []),
+                    strict=True):
         assert abs(a - b) <= 1e-5 * max(1.0, abs(b)), (a, b)
-    pa, pb = multi[0]["param_abs_sum"], single["param_abs_sum"]
-    assert abs(pa - pb) <= 1e-5 * max(1.0, abs(pb)), (pa, pb)
+    if "param_abs_sum" in multi[0]:
+        pa, pb = multi[0]["param_abs_sum"], single["param_abs_sum"]
+        assert abs(pa - pb) <= 1e-5 * max(1.0, abs(pb)), (pa, pb)
     return {
         "ok": True,
+        "workload": workload,
         "num_processes": num_processes,
         "global_devices": num_processes * devices_per_process,
         "sweep": multi[0]["sweep"],
-        "losses": multi[0]["losses"],
+        "losses": multi[0].get("losses"),
+        "fused_bits_checksum": multi[0].get("fused_bits_checksum"),
         "sweep_bit_identical_to_single_process": True,
     }
 
@@ -197,6 +264,10 @@ def main() -> None:
     ap.add_argument("--devices-per-process", type=int, default=4)
     ap.add_argument("--port", type=int, default=0)
     ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--workload", default="toy", choices=["toy", "z32"],
+                    help="toy = 4x8 sweep + sharded training; z32 = the "
+                         "NR BG2 Z=32 flagship sweep + fused-kernel "
+                         "shard_decode path")
     ap.add_argument("--out-dir", default=".")
     ap.add_argument("--timeout", type=int, default=600)
     args = ap.parse_args()
@@ -204,7 +275,7 @@ def main() -> None:
         worker(args)
     else:
         result = launch(args.num_processes, args.devices_per_process, args.steps,
-                        args.timeout)
+                        args.timeout, workload=args.workload)
         print(json.dumps(result))
 
 
