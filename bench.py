@@ -180,7 +180,7 @@ def section_corrected_gnn() -> dict:
     from flax import serialization
 
     from ldpc_tpu.models.message_gnn import create_corrected_minsum_gnn_decoder
-    from ldpc_tpu.ops.pallas_gnn import make_fused_corrected_gnn_decoder
+    from ldpc_tpu.ops.pallas_gnn import make_fused_corrected_gnn_decoder_v2
 
     qc4 = qc_layout(get_base_graph("nr_2_0_4"), 4)
     plan4 = qc_msg.make_plan(qc4)
@@ -193,7 +193,7 @@ def section_corrected_gnn() -> dict:
         m4.init(jax.random.PRNGKey(0), jnp.zeros((2, n4)), plan4),
         payload["params"],
     )
-    corr = make_fused_corrected_gnn_decoder(
+    corr = make_fused_corrected_gnn_decoder_v2(
         qc4, p4, num_iterations=5, hidden_dim=64, early_exit=True
     )
 
