@@ -51,6 +51,18 @@ PROBE_ATTEMPTS = 2
 # mid-run wedge — and every completed section's line survives either way.
 SECTION_TIMEOUTS = {"minsum": 600, "msg_gnn": 900, "corrected_gnn": 700, "z384": 700}
 SECTION_ORDER = ["minsum", "msg_gnn", "corrected_gnn", "z384"]
+# Test hook: scale all section budgets (e.g. 0.05 in the simulated-hang test).
+_TSCALE = float(os.environ.get("LDPC_BENCH_TIMEOUT_SCALE", "1"))
+
+
+def _batches():
+    """CPU fallback shrinks batches so sections finish inside their budgets
+    (the XLA scan path is ~65x slower than the fused TPU kernels)."""
+    import jax
+
+    if jax.default_backend() == "tpu":
+        return MINSUM_BATCH, GNN_BATCH
+    return 2048, 64
 
 
 # --------------------------------------------------------------------------
@@ -89,6 +101,7 @@ def section_minsum() -> dict:
     plan = qc_msg.make_plan(qc)
     n = plan.C * plan.Z
     on_tpu = jax.default_backend() == "tpu"
+    B = _batches()[0]
     fused = make_fused_minsum(qc, ITERS, 0.75, batch_tile=128) if on_tpu else None
 
     @partial(jax.jit, static_argnames=("B",))
@@ -100,12 +113,12 @@ def section_minsum() -> dict:
         res = decode_min_sum(llr, plan, ITERS, 0.75)
         return res.bits.sum(), res.conv_iter.astype(jnp.float32).mean()
 
-    dt, (err, iters) = _time_fn(lambda i: minsum_pipe(jax.random.PRNGKey(i), MINSUM_BATCH))
-    bps = decode_throughput(MINSUM_BATCH, n, dt, name="minsum")
+    dt, (err, iters) = _time_fn(lambda i: minsum_pipe(jax.random.PRNGKey(i), B))
+    bps = decode_throughput(B, n, dt, name="minsum")
     return {
         "minsum_bits_per_s": round(bps, 1),
         "minsum_kernel": "pallas_fused" if fused is not None else "xla_scan",
-        "minsum_batch": MINSUM_BATCH,
+        "minsum_batch": B,
         "minsum_ms_per_batch": round(dt * 1e3, 2),
         "minsum_bit_errors_at_3db": float(err),
         "minsum_mean_conv_iters": round(float(iters), 2),
@@ -129,6 +142,7 @@ def section_msg_gnn() -> dict:
     plan = qc_msg.make_plan(qc)
     n = plan.C * plan.Z
     on_tpu = jax.default_backend() == "tpu"
+    B = _batches()[1]
 
     model = create_message_gnn_decoder(plan, num_iterations=ITERS, hidden_dim=GNN_HIDDEN)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, n)), plan)
@@ -150,13 +164,13 @@ def section_msg_gnn() -> dict:
             soft, _ = model.apply(params, llr, plan)
         return (soft > 0.5).astype(jnp.float32).sum()
 
-    dt, _ = _time_fn(lambda i: gnn_pipe(params, jax.random.PRNGKey(i), GNN_BATCH), reps=5)
-    bps = decode_throughput(GNN_BATCH, n, dt, name="msg_gnn")
+    dt, _ = _time_fn(lambda i: gnn_pipe(params, jax.random.PRNGKey(i), B), reps=5)
+    bps = decode_throughput(B, n, dt, name="msg_gnn")
     return {
         "msg_gnn_bits_per_s": round(bps, 1),
         "msg_gnn_kernel": "pallas_fused" if gnn_soft is not None else "xla",
         "msg_gnn_hidden": GNN_HIDDEN,
-        "msg_gnn_batch": GNN_BATCH,
+        "msg_gnn_batch": B,
     }
 
 
@@ -246,6 +260,14 @@ def run_section(name: str) -> None:
     """Child-process entry: run one section, print its JSON dict last."""
     import contextlib
 
+    if os.environ.get("LDPC_BENCH_CPU_FALLBACK"):
+        # The host sitecustomize force-registers the TPU platform, so the
+        # JAX_PLATFORMS env var alone cannot deselect it — the config update
+        # must run before the backend initializes.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     from ldpc_tpu.utils.profiling import trace
 
     if os.environ.get("LDPC_BENCH_SIMULATE_HANG") == name:
@@ -311,7 +333,9 @@ def main() -> None:
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ldpc_tpu_jax_cache")
 
     env = dict(os.environ)
-    if not probe_tpu():
+    if env.get("JAX_PLATFORMS") == "cpu":
+        env["LDPC_BENCH_CPU_FALLBACK"] = "1"  # forced CPU (tests): skip probe
+    elif not probe_tpu():
         print("# TPU relay wedged -> CPU fallback", file=sys.stderr, flush=True)
         env["JAX_PLATFORMS"] = "cpu"
         env["LDPC_BENCH_CPU_FALLBACK"] = "1"
@@ -325,7 +349,8 @@ def main() -> None:
         try:
             r = subprocess.run(
                 [sys.executable, __file__, "--section", name],
-                timeout=SECTION_TIMEOUTS[name], capture_output=True, text=True,
+                timeout=SECTION_TIMEOUTS[name] * _TSCALE,
+                capture_output=True, text=True,
                 env=env,
             )
             if r.returncode != 0:
@@ -335,7 +360,9 @@ def main() -> None:
                 gauges.update(payload.pop("_gauges", {}))
                 details.update(payload)
         except subprocess.TimeoutExpired:
-            details[f"{name}_error"] = f"timeout after {SECTION_TIMEOUTS[name]}s"
+            details[f"{name}_error"] = (
+                f"timeout after {SECTION_TIMEOUTS[name] * _TSCALE:g}s"
+            )
         details[f"{name}_wall_s"] = round(time.time() - t0, 1)
         # Cumulative line after every section: a later hang cannot erase
         # the already-measured numbers (the driver keeps the last line).
