@@ -356,9 +356,23 @@ def main() -> None:
             if r.returncode != 0:
                 details[f"{name}_error"] = (r.stderr or "")[-400:].strip() or f"rc={r.returncode}"
             else:
-                payload = json.loads(r.stdout.strip().splitlines()[-1])
+                try:
+                    payload = json.loads(r.stdout.strip().splitlines()[-1])
+                except (IndexError, json.JSONDecodeError) as e:
+                    # rc==0 but the last stdout line is not the payload —
+                    # record it like any other section failure instead of
+                    # crashing the orchestrator (the whole point of which
+                    # is that completed sections' numbers survive).
+                    details[f"{name}_error"] = f"unparseable section output: {e}"
+                    payload = {}
                 gauges.update(payload.pop("_gauges", {}))
                 details.update(payload)
+                if env.get("LDPC_BENCH_CPU_FALLBACK") and not os.environ.get(
+                    "JAX_PLATFORMS"
+                ):
+                    # A wedge-triggered fallback must stay visible even
+                    # after a section reports its own backend.
+                    details["backend"] = "cpu-fallback"
         except subprocess.TimeoutExpired:
             details[f"{name}_error"] = (
                 f"timeout after {SECTION_TIMEOUTS[name] * _TSCALE:g}s"

@@ -72,7 +72,12 @@ def load_base_matrix(path: str | Path) -> BaseGraph:
         return BaseGraph(name=payload.get("name", path.stem), shifts=np.array(payload["shifts"]))
     from ldpc_tpu.runtime import native  # lazy: runtime imports this module
 
-    bg = native.load_base_matrix_native(path)
+    try:
+        bg = native.load_base_matrix_native(path)
+    except ValueError:
+        # Native parser rejected the file (oversized, tokenizer mismatch);
+        # the Python parser below is the semantic reference — let it decide.
+        bg = None
     if bg is not None:
         return bg
     rows = [[int(float(v)) for v in ln.split()] for ln in path.read_text().splitlines() if ln.split()]

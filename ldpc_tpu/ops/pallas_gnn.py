@@ -1607,14 +1607,14 @@ def _corrected_kernel_v2(llr_ref, w1g_ref, w1va_ref, w1l_ref, w2p_ref,
     _run_iterations(iteration, T, early_exit,
                     lambda: jnp.min(conv_buf[0:1, :]) > 0.0)
 
-    # ---- output: llr + colsum(final c2v) -> soft bits ----------------------
+    # ---- output: llr + colsum -> soft bits --------------------------------
+    # colsum still holds the last iteration's per-column c2v sums (only v2c
+    # is written after the var-half colsum pass), so the output stage reads
+    # it instead of re-accumulating c2v — C x degree fewer VPU adds.
     if early_exit:
         conv = conv_buf[0:1, :] > 0.0
     for c in range(C):
-        acc = jnp.zeros((1, lanes), f32)
-        for k in st.col_members[c]:
-            acc = acc + c2v[k : k + 1, :]
-        combined = llr_ref[c : c + 1, :] + acc
+        combined = llr_ref[c : c + 1, :] + colsum[c : c + 1, :]
         soft = 1.0 / (1.0 + jnp.exp(combined))
         if early_exit:
             soft = jnp.where(conv, frozen[c : c + 1, :], soft)

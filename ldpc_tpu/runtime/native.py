@@ -102,7 +102,9 @@ def edge_layout_from_H_native(H: np.ndarray) -> EdgeLayout | None:
     else:
         H8 = np.ascontiguousarray(np.asarray(H) != 0, dtype=np.int8)
     m, n = H8.shape
-    cap = int(H8.sum())
+    # count_nonzero, not sum: byte-dtype inputs may encode edges as any
+    # nonzero value (e.g. -1 markers), which the fast path passes through.
+    cap = int(np.count_nonzero(H8))
     ev = np.empty(cap, dtype=np.int32)
     ec = np.empty(cap, dtype=np.int32)
     E = int(lib.ldpc_enumerate_edges(

@@ -84,8 +84,8 @@ def test_production_entry_point_dispatches_to_native(monkeypatch):
 def test_native_speedup_at_scale():
     """Z=384 (5G maximum; E=75,648): the native build must beat the numpy
     path.  Measured 2026-08-20 on this machine: ~0.9 s native vs ~3 s
-    numpy (unloaded); the assertion uses a margin, not the raw ratio,
-    because CI shares these 2 cores."""
+    numpy (unloaded).  Best-of-2 per side absorbs scheduling noise on the
+    shared 2-core CI; the comparison itself is the raw best times."""
     H = expand_base_matrix(get_base_graph("nr_2_0_32"), 384)
     edge_layout_from_H_native(H)  # warm (may compile the .so)
 

@@ -221,12 +221,22 @@ def launch(num_processes: int, devices_per_process: int, steps: int, timeout: in
             raise SystemExit(f"single-process reference failed:\n{out}")
         single = json.loads((Path(td) / "worker_0.json").read_text())
 
-    exact_keys = [k for k in ("sweep", "fused_bits_checksum", "fused_batch",
-                              "losses", "param_abs_sum") if k in multi[0]]
+    # Hard per-workload contract: a workload that silently stops emitting a
+    # metric must fail here, not skip its checks.
+    required = {
+        "toy": ("sweep", "losses", "param_abs_sum"),
+        "z32": ("sweep", "fused_bits_checksum", "fused_batch"),
+    }[workload]
+    exact_keys = [k for k in required if k not in ("losses", "param_abs_sum")]
     for i, w in enumerate(multi):
         assert w["process_count"] == num_processes, w
+        for k in required:
+            assert k in w, f"worker {i} result missing {k!r}"
         for k in exact_keys:
             assert w[k] == multi[0][k], f"worker {i} disagrees on {k}"
+        for k in ("losses", "param_abs_sum"):
+            if k in required:
+                assert w[k] == multi[0][k], f"worker {i} disagrees on {k}"
     # MC error counts and decode-bit checksums are integer-valued sums: the
     # N-process run must be a bit-identical re-partition of the
     # single-process one.  Scalar float reductions (loss mean, param
