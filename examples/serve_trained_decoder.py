@@ -80,7 +80,11 @@ def main() -> None:
                                           depth_L=2)
         path = "fused Pallas kernel"
     elif args.model == "corrected_gnn":
-        from ldpc_tpu.ops.pallas_gnn import make_fused_corrected_gnn_decoder
+        # v2 = the element-count-reduced serving kernel (+35% measured,
+        # docs/PERFORMANCE.md)
+        from ldpc_tpu.ops.pallas_gnn import (
+            make_fused_corrected_gnn_decoder_v2 as make_fused_corrected_gnn_decoder,
+        )
 
         soft_fn = make_fused_corrected_gnn_decoder(
             qc, tr.params, num_iterations=args.iters, hidden_dim=args.hidden,
