@@ -11,6 +11,7 @@
 // buffers are caller-allocated; functions return 0 on success, negative on
 // error.
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -53,6 +54,9 @@ int ldpc_parse_base_matrix(const char* path, int32_t* out, int64_t max_cells,
       char* end = nullptr;
       double v = std::strtod(tok, &end);
       if (end == tok) return -3;
+      // Non-finite or out-of-int32-range tokens ('nan', '1e20') would be UB
+      // under a raw cast; reject them like the Python parser's ValueError.
+      if (!std::isfinite(v) || v < -2147483648.0 || v > 2147483647.0) return -3;
       if (count >= max_cells) return -2;
       out[count++] = static_cast<int32_t>(v);
       ++cur_cols;

@@ -416,6 +416,25 @@ class TestCorrectedServingV2:
         assert confident.mean() > 0.5
         assert ((a > 0.5) == (b > 0.5))[confident].all()
 
+    def test_matches_flax_module_h64(self):
+        """Production hidden size: v2 folds the projection (w2p) and
+        constant (cconst) into bfloat16 while the v1 kernel applied them in
+        f32 — gate parity at h=64, not just the h=16 toy shapes, so
+        precision drift in the fold can't hide (ADVICE r3)."""
+        from ldpc_tpu.ops.pallas_gnn import make_fused_corrected_gnn_decoder_v2
+
+        qc, plan, n, model, llr = self._setup(Z=32, iters=2, h=64)
+        params = _trained_like_params(model, llr, plan, seed=13)
+        soft_ref, _ = model.apply(params, llr, plan)
+        fused = make_fused_corrected_gnn_decoder_v2(
+            qc, params, num_iterations=2, hidden_dim=64, interpret=True
+        )
+        a, b = np.asarray(fused(llr)), np.asarray(soft_ref)
+        np.testing.assert_allclose(a, b, atol=3e-2)
+        confident = np.abs(b - 0.5) > 0.05
+        assert confident.mean() > 0.5
+        assert ((a > 0.5) == (b > 0.5))[confident].all()
+
     def test_matches_v1_kernel_z32(self):
         """v1 and v2 corrected kernels agree at the production Z=32 layout
         (Bt=4 packing) with trained-like params."""

@@ -28,8 +28,17 @@ Evaluation regenerates the curve under BOTH protocols:
 * random GF(2) codewords via this repo's encoder — the honest protocol for
   a non-sign-symmetric decoder (docs/MESSAGE_GNN.md "Evaluation honesty").
 
+The loss curve is recorded IN FULL (every step). Round 3 recorded
+`losses[::50]`, and because the trainer cycles the 5-point SNR mix
+deterministically and 50 % 5 == 0, every sampled loss was the same SNR
+point — systematically unrepresentative (VERDICT round 3, Weak #2).
+
+Long runs checkpoint every 250 steps (model + optimizer + RNG + losses) so
+they survive interruption; re-invoking with --resume continues, and
+--eval-only produces the JSON from the latest checkpoint without training.
+
 Usage:
-    PYTHONPATH=. python tools/reference_gnn_curve.py --steps 2000
+    PYTHONPATH=. python tools/reference_gnn_curve.py --steps 12000 --resume
 """
 from __future__ import annotations
 
@@ -57,6 +66,13 @@ def main() -> None:
     ap.add_argument("--eval-trials", type=int, default=20)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--threads", type=int, default=1)
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the latest checkpoint if present")
+    ap.add_argument("--eval-only", action="store_true",
+                    help="skip training; evaluate the latest checkpoint")
+    ap.add_argument("--ckpt", default=None,
+                    help="checkpoint path (default results/ref_gnn_ckpt_<code>.pt)")
     args = ap.parse_args()
 
     import sys
@@ -64,6 +80,8 @@ def main() -> None:
     sys.path.insert(0, REFERENCE_ROOT)
     import numpy as np
     import torch
+
+    torch.set_num_threads(args.threads)
 
     from ldpc_neural_decoder.models.message_gnn_decoder import (
         create_message_gnn_decoder,
@@ -108,8 +126,21 @@ def main() -> None:
                           weight_decay=1e-4)
     train_snrs = [-2.0, 0.0, 2.0, 4.0, 6.0]
     losses = []
+    start_step = 0
+    ckpt_path = Path(args.ckpt or f"results/ref_gnn_ckpt_{args.code.lower()}.pt")
+    if (args.resume or args.eval_only) and ckpt_path.exists():
+        state = torch.load(ckpt_path, weights_only=False)
+        decoder.load_state_dict(state["model"])
+        opt.load_state_dict(state["optimizer"])
+        losses = state["losses"]
+        start_step = state["step"]
+        torch.set_rng_state(state["torch_rng"])
+        print(f"resumed from {ckpt_path} at step {start_step}", flush=True)
+    elif args.eval_only:
+        raise SystemExit(f"--eval-only but no checkpoint at {ckpt_path}")
+
     t0 = time.time()
-    for step in range(args.steps):
+    for step in range(start_step, 0 if args.eval_only else args.steps):
         snr = train_snrs[step % len(train_snrs)]
         bits = torch.randint(0, 2, (args.batch, n), dtype=torch.float32)
         with torch.no_grad():
@@ -122,10 +153,16 @@ def main() -> None:
         opt.step()
         losses.append(float(loss))
         if (step + 1) % 100 == 0:
-            rate = (step + 1) / (time.time() - t0)
+            rate = (step + 1 - start_step) / (time.time() - t0)
             recent = sum(losses[-100:]) / 100
             print(f"[{time.strftime('%H:%M:%S')}] step {step + 1}/{args.steps} "
                   f"loss(100) {recent:.5f}  {rate:.2f} steps/s", flush=True)
+        if (step + 1) % 250 == 0:
+            torch.save({"model": decoder.state_dict(),
+                        "optimizer": opt.state_dict(),
+                        "losses": losses, "step": step + 1,
+                        "torch_rng": torch.get_rng_state()}, ckpt_path)
+    trained_steps = len(losses)
 
     snrs = [float(s) for s in range(-2, 7)]
     curves = {}
@@ -167,7 +204,7 @@ def main() -> None:
         "protocol": {
             "code": args.code, "Z": args.Z, "iterations": args.iterations,
             "hidden_dim": args.hidden, "params": n_params,
-            "training": f"{args.steps} steps SGD(lr={args.lr}, momentum=0.9, "
+            "training": f"{trained_steps} steps SGD(lr={args.lr}, momentum=0.9, "
                         f"wd=1e-4), batch {args.batch} random bits, "
                         f"SNR mix {train_snrs} (reference trainer protocol; "
                         f"reference default budget = 500 steps)",
@@ -180,7 +217,13 @@ def main() -> None:
         "snr_range": snrs,
         "train_loss_first100": sum(losses[:100]) / min(len(losses), 100),
         "train_loss_last100": sum(losses[-100:]) / min(len(losses), 100),
-        "train_losses_every50": losses[::50],
+        # Full per-step loss record (round 3's losses[::50] aliased onto a
+        # single SNR point of the 5-cycle — VERDICT r3 Weak #2).
+        "train_losses": losses,
+        "train_loss_block_means100": [
+            sum(losses[i:i + 100]) / len(losses[i:i + 100])
+            for i in range(0, len(losses), 100)
+        ],
         "curves": curves,
         "wall_seconds": round(time.time() - t0, 1),
     }
