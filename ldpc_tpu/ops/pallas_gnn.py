@@ -579,10 +579,15 @@ def make_fused_gnn_decoder_v2(
 # * iteration 0 is peeled so the residual gate multiply disappears.
 #
 # Net: ~14 element-block ops per edge per iteration with input injection
-# (~13 without) vs ~24 — measured 1.58x over v1/v2 on the real chip
-# (docs/PERFORMANCE.md).  Numerics: same bf16 feature stream, f32
-# pre-activations; b2 enters through the bf16 ones-row matmul instead of a
-# f32 add (covered by the kernel parity tolerances).
+# (~13 without) vs ~24 — yet measured SLOWER than v1/v2 on the real chip
+# (22.2 vs 28.1 Mbit/s, docs/PERFORMANCE.md round 3): the whole-graph
+# (3h, K*lanes) f32 first-layer scratch plus the whole-graph h1 cost more
+# in VMEM write+read traffic than the removed element ops saved.  Kept as
+# the measured data point that motivates the group-wise v4 below; v1
+# remains the default fully-neural kernel unless v4 beats it.  Numerics:
+# same bf16 feature stream, f32 pre-activations; b2 enters through the
+# bf16 ones-row matmul instead of a f32 add (covered by the kernel parity
+# tolerances).
 
 
 def _extract_v3(params, qc: QCLayout, num_iterations: int, hidden_dim: int,
@@ -888,6 +893,349 @@ def make_fused_gnn_decoder_v3(
                 pltpu.VMEM((h, C * lanes), jnp.bfloat16),  # var-relation means
                 pltpu.VMEM((3 * h, K * lanes), jnp.float32),  # first-layer out
                 pltpu.VMEM((2 * h + 8, K * lanes), jnp.bfloat16),  # h1 (+ones)
+                pltpu.VMEM((h, C * lanes), jnp.float32),  # pre_col
+                pltpu.VMEM((h, st.R * lanes), jnp.float32),  # pre_row
+                pltpu.VMEM((2 * h, (C if input_injection else 1) * lanes),
+                           jnp.float32),  # per-column LLR precompute
+            ],
+            compiler_params=_COMPILER_PARAMS,
+            interpret=interpret,
+        )(g, *weights)
+        soft = (
+            soft.reshape(nt, Cp, lanes)[:, :C, : Z * Bt]
+            .reshape(nt, C, Z, Bt)
+            .transpose(0, 3, 1, 2)
+            .reshape(Bp, n)
+        )
+        return soft[:B]
+
+    return decode
+
+
+# ---------------------------------------------------------------------------
+# v4 kernel: group-wise hybrid (VERDICT r3 item 4)
+# ---------------------------------------------------------------------------
+#
+# v3's element diet removes ~10 block ops/edge/iteration vs v2 but pays with
+# a (3h, K*lanes) f32 whole-graph first-layer scratch (~19 MB at production
+# scale) plus a whole-graph h1, whose VMEM write+read traffic measured
+# SLOWER than v2 overall (docs/PERFORMANCE.md round 3).  v4 is v2's
+# group-wise structure (register-held h1 concats — a first group-scratch
+# variant that staged h1 in a reused VMEM tile measured 19.6 vs v2's 26.7
+# Mbit/s: the tile reuse serializes groups) with v3's algebraic folds
+# stacked on top:
+#
+# * te deltas ride the feature stream (one writeback add instead of two
+#   per-edge bias1 adds);
+# * scalar b1v/b1c and the LLR v-side column term fold into the
+#   pre_col/pre_row precomputes (C + R adds instead of 2-3K);
+# * the row-relation mean accumulates single-cast f32 rolls
+#   (``roll_f32(feats.astype(f32))``) instead of v2's bf16 roll helper
+#   round-trip (3 casts/edge -> 1);
+# * iteration 0 is peeled (no residual-gate multiply);
+# * NEW fold beyond v3: the LAST iteration's second layer collapses into a
+#   thin row-matmul.  The final features are only ever read through the
+#   scalar output projection, which is linear (the corrected-v2 trick,
+#   applied to the fully-neural decoder's final step):
+#       proj^T feats_T = (proj^T [W2v W2c]) @ h1 + proj^T b2
+#                        + proj^T feats_{T-1} - proj^T te_{T-1}
+#   -> one (8, 2h) and one (8, h) thin matmul per group plus a per-edge
+#   scalar table (dsc, which also carries proj_b and proj^T b2); the
+#   (h, 2h) second-layer matmul, the K feature writebacks, and the output
+#   stage's K (h, lanes) projection reductions all disappear at t = T-1.
+#
+# Reference parity target: `message_gnn_decoder.py:155-353` (intended
+# semantics), same as v1; asserted against the Flax module and the v1
+# kernel in tests/test_pallas_gnn.py.
+
+
+def _kernel_v4(llr_ref, w1f_ref, w1va_ref, w1ca_ref, w1l_ref, w2vc_ref,
+               b2_ref, w2last_ref, proj8_ref, pcb_ref, prb_ref, dte_ref,
+               dsc_ref, emb_ref, soft_ref,
+               feats, llr_feats, var_mean, row_mean, s_all,
+               pre_col, pre_row, pre_llr,
+               *, st, h: int, T: int, Bt: int, lanes: int, inject: bool,
+               mm_group: int = 16):
+    Z, K, C, R = st.Z, st.K, st.C, st.R
+    packed = Bt > 1
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+
+    def roll_f32(x, s):
+        if packed:
+            s = (s % Z) * Bt
+            return pltpu.roll(x, s, 1) if s else x
+        return _roll_lanes(x, s, Z)
+
+    def lb(k):
+        return pl.ds(k * lanes, lanes)
+
+    groups = [list(range(g, min(g + mm_group, K))) for g in range(0, K, mm_group)]
+
+    # ---- seed: feats0 = emb(llr) + te_0 -----------------------------------
+    emb_w = emb_ref[0:h, 0:1]
+    emb_b = emb_ref[h : 2 * h, 0:1]
+    for c in range(C):
+        row = llr_ref[c : c + 1, :]
+        f0 = jnp.broadcast_to(row, (h, lanes)) * emb_w + emb_b
+        if inject:
+            llr_feats[:, lb(c)] = f0.astype(bf16)
+        for k in st.col_members[c]:
+            feats[:, lb(k)] = (f0 + dte_ref[0:h, k : k + 1]).astype(bf16)
+
+    inv_dc = [1.0 / max(len(st.col_members[c]), 1) for c in range(C)]
+    inv_dr = [1.0 / max(len(st.row_members[r]), 1) for r in range(R)]
+
+    def aggregates(t):
+        """pre_col / pre_row / pre_llr for iteration t (b1 biases folded)."""
+        th = pl.ds(t * h, h)
+        t2h = pl.ds(t * 2 * h, 2 * h)
+        for c in range(C):
+            acc = jnp.zeros((h, lanes), f32)
+            for k in st.col_members[c]:
+                acc = acc + feats[:, lb(k)].astype(f32)
+            var_mean[:, lb(c)] = (acc * inv_dc[c]).astype(bf16)
+        # single-cast f32 rolls (v2's bf16 roll helper costs 3 casts/edge)
+        for r in range(R):
+            acc = jnp.zeros((h, lanes), f32)
+            for k in st.row_members[r]:
+                acc = acc + roll_f32(feats[:, lb(k)].astype(f32), -st.shifts[k])
+            row_mean[:, lb(r)] = (acc * inv_dr[r]).astype(bf16)
+        pre_col[:, :] = jnp.dot(w1va_ref[th, 0:h], var_mean[:, :],
+                                preferred_element_type=f32)
+        pre_row[:, :] = jnp.dot(w1ca_ref[th, 0:h], row_mean[:, :],
+                                preferred_element_type=f32)
+        if inject:
+            pre_llr[:, :] = jnp.dot(w1l_ref[t2h, 0:h], llr_feats[:, :],
+                                    preferred_element_type=f32)
+        for c in range(C):
+            pc = pre_col[:, lb(c)] + jnp.broadcast_to(
+                pcb_ref[th, c : c + 1], (h, lanes)
+            )
+            if inject:
+                pc = pc + pre_llr[0:h, lb(c)]
+            pre_col[:, lb(c)] = pc
+        for r in range(R):
+            pre_row[:, lb(r)] = pre_row[:, lb(r)] + jnp.broadcast_to(
+                prb_ref[th, r : r + 1], (h, lanes)
+            )
+
+    def group_h1(t, grp):
+        """First layer + relu for one edge group, h1 held in registers
+        (a reused VMEM h1 tile serializes groups — see design comment)."""
+        g0, gn = grp[0], len(grp)
+        gsl = pl.ds(g0 * lanes, gn * lanes)
+        f_g = feats[:, gsl]
+        p_g = jnp.dot(w1f_ref[pl.ds(t * 2 * h, 2 * h), 0:h], f_g,
+                      preferred_element_type=f32)
+        parts_v, parts_c = [], []
+        for j, k in enumerate(grp):
+            c_k, r_k = st.cols[k], st.rows[k]
+            jl = slice(j * lanes, (j + 1) * lanes)
+            pv = p_g[0:h, jl] + pre_col[:, lb(c_k)]
+            pc = p_g[h : 2 * h, jl] + roll_f32(pre_row[:, lb(r_k)], st.shifts[k])
+            if inject:
+                pc = pc + pre_llr[pl.ds(h, h), lb(c_k)]
+            parts_v.append(jnp.maximum(pv, 0.0).astype(bf16))
+            parts_c.append(jnp.maximum(pc, 0.0).astype(bf16))
+        h1_g = jnp.concatenate(
+            [jnp.concatenate(parts_v, axis=1),
+             jnp.concatenate(parts_c, axis=1)], axis=0
+        )  # (2h, gn*lanes)
+        return f_g, gsl, gn, h1_g
+
+    def iteration_mid(t, first: bool):
+        aggregates(t)
+        th = pl.ds(t * h, h)
+        dth = pl.ds((t + 1) * h, h)
+        b2 = b2_ref[th, 0:1]
+        for grp in groups:
+            f_g, gsl, gn, h1_g = group_h1(t, grp)
+            out = (jnp.dot(w2vc_ref[th, 0 : 2 * h], h1_g,
+                           preferred_element_type=f32) + b2).astype(bf16)
+            for j, k in enumerate(grp):
+                jl = slice(j * lanes, (j + 1) * lanes)
+                nf = out[:, jl] + dte_ref[dth, k : k + 1].astype(bf16)
+                if not first:
+                    nf = nf + feats[:, lb(k)]
+                feats[:, lb(k)] = nf
+        return 0
+
+    def iteration_last(t, include_residual: bool):
+        aggregates(t)
+        for grp in groups:
+            f_g, gsl, gn, h1_g = group_h1(t, grp)
+            s_g = jnp.dot(w2last_ref[0:8, 0 : 2 * h], h1_g,
+                          preferred_element_type=f32)
+            if include_residual:
+                s_g = s_g + jnp.dot(proj8_ref[0:8, 0:h], f_g,
+                                    preferred_element_type=f32)
+            s_all[:, gsl] = s_g
+
+    if T == 1:
+        iteration_last(0, include_residual=False)
+    else:
+        iteration_mid(0, first=True)
+        if T > 2:
+            jax.lax.fori_loop(1, T - 1,
+                              lambda t, c: iteration_mid(t, first=False), 0,
+                              unroll=False)
+        iteration_last(T - 1, include_residual=True)
+
+    # ---- output: thin per-edge scalars, per-variable sum, sigmoid ---------
+    for c in range(C):
+        acc = jnp.zeros((1, lanes), f32)
+        for k in st.col_members[c]:
+            acc = acc + s_all[0:1, lb(k)] + dsc_ref[0:1, k : k + 1]
+        combined = llr_ref[c : c + 1, :] + acc
+        soft_ref[c : c + 1, :] = 1.0 / (1.0 + jnp.exp(combined))
+
+
+def gnn_v4_vmem_bytes(qc: QCLayout, hidden_dim: int, lanes: int,
+                      input_injection: bool, mm_group: int = 16) -> int:
+    K, C, R = qc.num_base_edges, qc.num_base_cols, qc.num_base_rows
+    h = hidden_dim
+    bf16 = (K + C + R + (C if input_injection else 0)) * h * lanes * 2
+    f32 = (C + R + (2 * C if input_injection else 0)) * h * lanes * 4
+    f32 += 8 * K * lanes * 4  # s_all
+    return bf16 + f32 + 2 * C * lanes * 4
+
+
+def make_fused_gnn_decoder_v4(
+    qc: QCLayout,
+    params,
+    num_iterations: int = 5,
+    hidden_dim: int = 64,
+    share_layers: bool = False,
+    input_injection: bool = False,
+    mm_group: int = 16,
+    interpret: bool = False,
+):
+    """Group-wise hybrid variant of :func:`make_fused_gnn_decoder`.
+
+    Same serving semantics as v1/v2/v3 (bf16 feature stream, f32
+    pre-activations); see the design comment above `_kernel_v4`.
+    """
+    st = _GNNStructure(qc)
+    Z, C, K, h = st.Z, st.C, st.K, hidden_dim
+    n = C * Z
+    T = num_iterations
+    if h % 8:
+        raise ValueError(f"hidden_dim must be a multiple of 8, got {h}")
+    if 128 % Z == 0:
+        Bt, lanes = 128 // Z, 128
+    elif Z % 8 == 0:
+        Bt, lanes = 1, -(-Z // 128) * 128
+    else:
+        raise ValueError(f"fused GNN kernel requires Z % 8 == 0 or Z | 128, got Z={Z}")
+    need = gnn_v4_vmem_bytes(qc, h, lanes, input_injection, mm_group)
+    budget = 48 * 2**20
+    if need > budget:
+        raise ValueError(
+            f"v4 GNN state ({need / 2**20:.1f} MiB) exceeds the "
+            f"{budget / 2**20:.0f} MiB scratch budget (Z={Z}, h={h})"
+        )
+
+    w = _extract_v3(params, qc, T, h, share_layers, input_injection)
+    Kpad = -(-K // 128) * 128
+
+    def stack(x, pad_to):  # (T, h, d) -> (T*h, pad_to)
+        T_, hh, d = x.shape
+        out = np.zeros((T_ * hh, pad_to), x.dtype)
+        out[:, :d] = x.reshape(T_ * hh, d)
+        return out
+
+    # first-layer own-features stack: per t, [W1vf; W1cf] (2h, h)
+    w1f = np.zeros((T * 2 * h, 128), np.float32)
+    for t in range(T):
+        w1f[t * 2 * h : t * 2 * h + h, :h] = w["W1vf"][t]
+        w1f[t * 2 * h + h : (t + 1) * 2 * h, :h] = w["W1cf"][t]
+    w1f = jnp.asarray(w1f, jnp.bfloat16)
+    w1va = jnp.asarray(stack(w["W1va"], 128), jnp.bfloat16)
+    w1ca = jnp.asarray(stack(w["W1ca"], 128), jnp.bfloat16)
+    w1l = np.zeros((T * 2 * h, 128), np.float32)
+    if input_injection:
+        for t in range(T):
+            w1l[t * 2 * h : t * 2 * h + h, :h] = w["W1vl"][t]
+            w1l[t * 2 * h + h : (t + 1) * 2 * h, :h] = w["W1cl"][t]
+    w1l = jnp.asarray(w1l, jnp.bfloat16)
+    # second layer [W2v W2c] (b2 added as a f32 column like v2; the last
+    # iteration's block is unused — thin fold)
+    w2vc = jnp.asarray(
+        stack(np.concatenate([w["W2v"], w["W2c"]], axis=2), max(2 * h, 128)),
+        jnp.bfloat16,
+    )
+    b2 = jnp.asarray(np.repeat(w["b2"].reshape(T * h, 1), 128, 1), jnp.float32)
+    # thin folded last layer: proj^T [W2v W2c]
+    pw = w["proj_w"]
+    w2last = np.zeros((8, max(2 * h, 128)), np.float32)
+    w2last[0, 0:h] = pw @ w["W2v"][T - 1]
+    w2last[0, h : 2 * h] = pw @ w["W2c"][T - 1]
+    w2last = jnp.asarray(w2last, jnp.bfloat16)
+    proj8 = np.zeros((8, 128), np.float32)
+    proj8[0, :h] = pw
+    proj8 = jnp.asarray(proj8, jnp.bfloat16)
+    pcb = jnp.asarray(np.repeat(w["b1v"].reshape(T * h, 1), 128, 1), jnp.float32)
+    prb = jnp.asarray(np.repeat(w["b1c"].reshape(T * h, 1), 128, 1), jnp.float32)
+    # te delta table (same as v3); only blocks 0..T-1 are read — the final
+    # -te_{T-1} fold moves into the dsc scalar table
+    dte = np.zeros(((T + 1) * h, Kpad), np.float32)
+    te = w["te"]  # (T, K, h)
+    dte[0:h, :K] = te[0].T
+    for t in range(1, T + 1):
+        nxt = te[t] if t < T else np.zeros_like(te[0])
+        prev = np.zeros_like(te[0]) if t == 1 else te[t - 1]
+        dte[t * h : (t + 1) * h, :K] = (nxt - prev).T
+    dte = jnp.asarray(dte, jnp.float32)
+    # per-edge output scalars: proj_b (per member) + proj^T b2_{T-1}
+    # - proj^T te_{T-1} (the residual stream carries te_{T-1} only for T>1)
+    dsc = np.zeros((8, Kpad), np.float32)
+    dsc[0, :K] = (w["proj_b"] + pw @ w["b2"][T - 1]
+                  - (te[T - 1] @ pw if T > 1 else 0.0))
+    dsc = jnp.asarray(dsc, jnp.float32)
+    emb = np.zeros((2 * h, 128), np.float32)
+    emb[0:h, :] = w["emb_w"][:, None]
+    emb[h : 2 * h, :] = w["emb_b"][:, None]
+    emb = jnp.asarray(emb)
+
+    kernel = functools.partial(
+        _kernel_v4, st=st, h=h, T=T, Bt=Bt, lanes=lanes, inject=input_injection,
+        mm_group=mm_group,
+    )
+    vm = pltpu.VMEM
+    weights = (w1f, w1va, w1ca, w1l, w2vc, b2, w2last, proj8, pcb, prb, dte,
+               dsc, emb)
+    wspecs = [
+        pl.BlockSpec(x.shape, lambda i: (0, 0), memory_space=vm) for x in weights
+    ]
+    Cp = -(-C // 8) * 8
+
+    @jax.jit
+    def decode(llr: Array) -> Array:
+        B = llr.shape[0]
+        if B % Bt:
+            pad = Bt - B % Bt
+            llr = jnp.concatenate([llr, jnp.zeros((pad, n), llr.dtype)], axis=0)
+        Bp = llr.shape[0]
+        nt = Bp // Bt
+        g = llr.reshape(nt, Bt, C, Z).transpose(0, 2, 3, 1).reshape(nt, C, Z * Bt)
+        g = jnp.pad(g, ((0, 0), (0, Cp - C), (0, lanes - Z * Bt))).reshape(
+            nt * Cp, lanes
+        )
+        soft = pl.pallas_call(
+            kernel,
+            grid=(nt,),
+            in_specs=[pl.BlockSpec((Cp, lanes), lambda i: (i, 0), memory_space=vm)]
+            + wspecs,
+            out_specs=pl.BlockSpec((Cp, lanes), lambda i: (i, 0), memory_space=vm),
+            out_shape=jax.ShapeDtypeStruct((nt * Cp, lanes), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((h, K * lanes), jnp.bfloat16),  # feats (with te)
+                pltpu.VMEM((h, (C if input_injection else 1) * lanes),
+                           jnp.bfloat16),  # llr feats
+                pltpu.VMEM((h, C * lanes), jnp.bfloat16),  # var-relation means
+                pltpu.VMEM((h, st.R * lanes), jnp.bfloat16),  # check-rel means
+                pltpu.VMEM((8, K * lanes), jnp.float32),  # thin output scalars
                 pltpu.VMEM((h, C * lanes), jnp.float32),  # pre_col
                 pltpu.VMEM((h, st.R * lanes), jnp.float32),  # pre_row
                 pltpu.VMEM((2 * h, (C if input_injection else 1) * lanes),

@@ -163,6 +163,85 @@ def test_v3_single_iteration_and_residual_algebra():
         )
 
 
+@pytest.mark.parametrize("name,Z,inject,share", [
+    ("toy_4x8", 4, False, False),
+    ("toy_4x8", 4, True, False),
+    ("toy_4x8", 8, True, True),
+    ("nr_2_0_4", 4, True, False),
+])
+def test_v4_matches_flax_module(name, Z, inject, share):
+    """Group-wise hybrid kernel (v3 folds + v2 group tiling + thin
+    last-iteration fold): same parity gate as v1/v2/v3."""
+    from ldpc_tpu.ops.pallas_gnn import make_fused_gnn_decoder_v4
+
+    qc = qc_layout(get_base_graph(name), Z)
+    plan = qc_msg.make_plan(qc)
+    n = plan.C * plan.Z
+    iters, h = 3, 16
+    model = create_message_gnn_decoder(
+        plan, num_iterations=iters, hidden_dim=h,
+        input_injection=inject, share_layers=share,
+    )
+    llr = bpsk_awgn_llr(jax.random.PRNGKey(0), jnp.zeros((4, n)), 2.0)
+    params = _trained_like_params(model, llr, plan, seed=3)
+    soft_ref, _ = model.apply(params, llr, plan)
+
+    fused = make_fused_gnn_decoder_v4(
+        qc, params, num_iterations=iters, hidden_dim=h,
+        share_layers=share, input_injection=inject, interpret=True,
+    )
+    soft = fused(llr)
+    a, b = np.asarray(soft), np.asarray(soft_ref)
+    np.testing.assert_allclose(a, b, atol=3e-2)
+    confident = np.abs(b - 0.5) > 0.05
+    assert confident.mean() > 0.5
+    assert ((a > 0.5) == (b > 0.5))[confident].all()
+
+
+@pytest.mark.parametrize("iters", [1, 2, 3, 5])
+def test_v4_short_and_long_iteration_counts(iters):
+    """T=1 (thin fold only, no residual), T=2 (both peels, no fori_loop),
+    T=3/5 (full path) exercise every control-flow combination of the
+    peeled-first / fori-mid / thin-folded-last structure."""
+    from ldpc_tpu.ops.pallas_gnn import make_fused_gnn_decoder_v4
+
+    qc = qc_layout(get_base_graph("toy_4x8"), 4)
+    plan = qc_msg.make_plan(qc)
+    n = plan.C * plan.Z
+    model = create_message_gnn_decoder(plan, num_iterations=iters,
+                                       hidden_dim=16, input_injection=True)
+    llr = bpsk_awgn_llr(jax.random.PRNGKey(4), jnp.zeros((4, n)), 2.0)
+    params = _trained_like_params(model, llr, plan, seed=7)
+    soft_ref, _ = model.apply(params, llr, plan)
+    fused = make_fused_gnn_decoder_v4(qc, params, num_iterations=iters,
+                                      hidden_dim=16, input_injection=True,
+                                      interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(fused(llr)), np.asarray(soft_ref), atol=3e-2
+    )
+
+
+def test_v4_matches_v1_kernel_z32():
+    """v4 and v1 agree at the production Z=32 packed layout."""
+    from ldpc_tpu.ops.pallas_gnn import (
+        make_fused_gnn_decoder,
+        make_fused_gnn_decoder_v4,
+    )
+
+    qc = qc_layout(get_base_graph("toy_4x8"), 32)
+    plan = qc_msg.make_plan(qc)
+    n = plan.C * plan.Z
+    model = create_message_gnn_decoder(plan, num_iterations=2, hidden_dim=16,
+                                       input_injection=True)
+    llr = bpsk_awgn_llr(jax.random.PRNGKey(2), jnp.zeros((4, n)), 2.0)
+    params = _trained_like_params(model, llr, plan, seed=11)
+    kw = dict(num_iterations=2, hidden_dim=16, input_injection=True,
+              interpret=True)
+    v1 = make_fused_gnn_decoder(qc, params, **kw)(llr)
+    v4 = make_fused_gnn_decoder_v4(qc, params, **kw)(llr)
+    np.testing.assert_allclose(np.asarray(v4), np.asarray(v1), atol=2e-2)
+
+
 def test_untrained_is_channel_passthrough():
     """Zero-init output projection: fused kernel returns sigmoid(-llr)."""
     qc = qc_layout(get_base_graph("toy_4x8"), 4)

@@ -31,6 +31,28 @@ def bench(fn, llrs, sync=lambda o: float(np.asarray(o).sum())):
     return best
 
 
+def bench_interleaved(fns, llrs, rounds=6,
+                      sync=lambda o: float(np.asarray(o).sum())):
+    """Per-kernel best across ROUND-ROBIN timing windows.
+
+    The tunneled device's effective rate is bimodal on ~seconds timescales
+    (observed 2026-08-21: identical warm kernels measuring 21 vs 40 Mbit/s
+    in adjacent runs, rankings flipping run to run).  Timing each kernel in
+    its own contiguous window lets one slow phase poison one kernel;
+    interleaving rounds across all kernels and keeping each kernel's best
+    window samples every kernel in the fast phase."""
+    for fn in fns:
+        sync(fn(llrs[0]))  # warm all first
+    best = [float("inf")] * len(fns)
+    for _ in range(rounds):
+        for i, fn in enumerate(fns):
+            t0 = time.time()
+            outs = [fn(l) for l in llrs[1:]]
+            sync(outs[-1])
+            best[i] = min(best[i], (time.time() - t0) / (len(llrs) - 1))
+    return best
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=2048)
@@ -41,6 +63,9 @@ def main() -> None:
     ap.add_argument("--fresh", action="store_true",
                     help="bench fresh (untrained) params — kernel speed does "
                          "not depend on weight values")
+    ap.add_argument("--kernels", default=None,
+                    help="comma list of fused variants to run (e.g. v1,v2,v4); "
+                         "default all — skips cold compiles of the others")
     ap.add_argument("--gnn-checkpoint", default="results/message_gnn_nr_2_0_4.msgpack")
     ap.add_argument("--corrected-checkpoint",
                     default="results/corrected_gnn_nr_2_0_4.msgpack")
@@ -58,6 +83,7 @@ def main() -> None:
         make_fused_gnn_decoder,
         make_fused_gnn_decoder_v2,
         make_fused_gnn_decoder_v3,
+        make_fused_gnn_decoder_v4,
     )
     from ldpc_tpu.training import LDPCDecoderTrainer
     from ldpc_tpu.utils import bpsk_awgn_llr
@@ -80,7 +106,8 @@ def main() -> None:
                       create_message_gnn_decoder,
                       [("fused_v1", make_fused_gnn_decoder),
                        ("fused_v2", make_fused_gnn_decoder_v2),
-                       ("fused_v3", make_fused_gnn_decoder_v3)]))
+                       ("fused_v3", make_fused_gnn_decoder_v3),
+                       ("fused_v4", make_fused_gnn_decoder_v4)]))
     if not args.fresh and Path(args.corrected_checkpoint).exists():
         cases.append(("corrected_gnn", args.corrected_checkpoint,
                       create_corrected_minsum_gnn_decoder,
@@ -93,6 +120,14 @@ def main() -> None:
           f"MXU peak {bounds['mxu_bound_bits_per_s'] / 1e6:.1f} Mbit/s, "
           f"(h/128)^2 fill ceiling {bounds['mxu_bound_achievable_bits_per_s'] / 1e6:.1f}, "
           f"VPU {bounds['vpu_bound_bits_per_s'] / 1e6:.1f}")
+
+    if args.kernels:
+        want = {k.strip() for k in args.kernels.split(",")}
+        cases = [
+            (n, c, f, [(fn, fu) for fn, fu in fusers
+                       if fn.replace("fused_", "").replace("fused", "v1") in want])
+            for n, c, f, fusers in cases
+        ]
 
     for name, ckpt, factory, fusers in cases:
         model = factory(plan, num_iterations=args.iters, hidden_dim=args.hidden,
@@ -107,7 +142,8 @@ def main() -> None:
             return soft
 
         dt_x = bench(xla_soft, llrs)
-        print(f"{name}: XLA {B * n / dt_x / 1e6:.1f} Mbit/s")
+        print(f"{name}: XLA {B * n / dt_x / 1e6:.1f} Mbit/s", flush=True)
+        fused_list, checks = [], []
         for fname, fuse in fusers:
             fused = fuse(qc, tr.params, num_iterations=args.iters,
                          hidden_dim=args.hidden, input_injection=True)
@@ -115,13 +151,16 @@ def main() -> None:
             b = np.asarray(xla_soft(llrs[0]))
             conf = np.abs(b - 0.5) > 0.05
             agree = ((a > 0.5) == (b > 0.5))[conf].mean() if conf.any() else 1.0
-            dt_f = bench(fused, llrs)
+            fused_list.append(fused)
+            checks.append((fname, float(np.abs(a - b).max()), float(agree)))
+        dts = bench_interleaved(fused_list, llrs)
+        for (fname, dmax, agree), dt_f in zip(checks, dts):
             bps = B * n / dt_f
             mfu = bps * rl.mxu_flops_per_frame / n / 1.97e14
             print(f"{name}/{fname}: {bps / 1e6:.1f} Mbit/s  "
                   f"speedup_vs_xla {dt_x / dt_f:.1f}x  MFU {mfu * 100:.1f}%  "
-                  f"|diff| max {np.abs(a - b).max():.4f}  "
-                  f"decision agreement {agree:.6f}")
+                  f"|diff| max {dmax:.4f}  "
+                  f"decision agreement {agree:.6f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -34,6 +34,12 @@ SWEEP = [
      "12k steps, multiloss"),
     ("h=128 T=10", 128, 10, True, "results/gnn_sweep_h128_t10.msgpack",
      "12k steps, multiloss"),
+    ("h=64 T=5 @2k", 64, 5, True, "results/gnn_sweep_h64_t5_2k.msgpack",
+     "2000 steps, batch 32, SNR [-2,6] — budget-matched to the round-4 "
+     "reference-GNN training run (reference_torch_gnn artifact)"),
+    ("h=128 T=10 ft", 128, 10, True, "results/gnn_sweep_h128_t10_ft.msgpack",
+     "12k + reduced-LR (1e-4 const) fine-tune over SNR [-3,4] — the "
+     "high-SNR floor fix (VERDICT r3 item 2)"),
 ]
 
 

@@ -61,6 +61,12 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=60000)
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--lr-schedule", default="cosine", choices=["cosine", "constant"],
+                    help="'constant' with a low --lr is the reduced-LR "
+                         "fine-tune path: warm-starting a trained model with "
+                         "the default schedule would restart the full cosine "
+                         "at lr 1e-3 and destabilize it (round-3 floor-fix "
+                         "failure, PARITY.md)")
     ap.add_argument("--warmup", type=int, default=500)
     ap.add_argument("--snr-lo", type=float, default=-3.0)
     ap.add_argument("--snr-hi", type=float, default=1.0)
@@ -150,7 +156,7 @@ def main() -> None:
         snr_range=[args.snr_lo, args.snr_hi], data_mode="random_codewords",
         optimizer="adam", weight_decay=0.0, grad_clip=args.grad_clip,
         scan_steps=args.scan,
-        lr_schedule="cosine", warmup_steps=args.warmup,
+        lr_schedule=args.lr_schedule, warmup_steps=args.warmup,
         checkpoint_fn=checkpoint,
     )
     trainer.save_model(model_path)
