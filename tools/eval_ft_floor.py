@@ -1,0 +1,85 @@
+"""High-precision tail eval for the h=128 T=10 fine-tuned GNN floor fix.
+
+The identical-noise size sweep (`gnn_size_sweep.json`) has 4.26e6
+bits/point — enough to see the un-tuned model's +3/+4 dB floor (~2,100
+bit errors at +4 dB) but thin for the fine-tuned model's residual rate
+(3 bit errors).  This runs the fine-tuned and un-tuned checkpoints on
+>=1e8 bits/point over the high-SNR tail through the fused serving kernel,
+pinning the floor-fix claim (VERDICT r3 item 2; PARITY.md).
+
+Run on TPU:  PYTHONPATH=/root/.axon_site:. python tools/eval_ft_floor.py
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trials", type=int, default=500)
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--snrs", default="1,2,3,4")
+    ap.add_argument("--out", default="results/gnn_h128t10_ft_floor.json")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from ldpc_tpu.codes import encoder_from_H, expand_base_matrix, get_base_graph, qc_layout
+    from ldpc_tpu.models.message_gnn import create_message_gnn_decoder
+    from ldpc_tpu.ops import qc_msg
+    from ldpc_tpu.ops.pallas_gnn import make_fused_gnn_decoder_v2
+    from ldpc_tpu.parallel import mc_sweep
+    from ldpc_tpu.training import LDPCDecoderTrainer
+
+    bg = get_base_graph("nr_2_0_4")
+    qc = qc_layout(bg, 4)
+    plan = qc_msg.make_plan(qc)
+    enc = encoder_from_H(expand_base_matrix(bg, 4))
+    snrs = [float(s) for s in args.snrs.split(",")]
+    n = plan.C * plan.Z
+
+    out = {
+        "protocol": {
+            "code": "nr_2_0_4", "Z": 4, "codewords": "random (GF(2) encoder)",
+            "modulation": "qpsk", "trials": args.trials, "batch": args.batch,
+            "bits_per_point": args.trials * args.batch * n,
+            "identical_noise": "per-(snr, trial) folded keys, same for both models",
+            "serving": "fused Pallas GNN kernel (v2)",
+        },
+        "snr_range": snrs,
+        "models": {},
+    }
+    for tag, ckpt in [
+        ("h=128 T=10", "results/gnn_sweep_h128_t10.msgpack"),
+        ("h=128 T=10 ft", "results/gnn_sweep_h128_t10_ft.msgpack"),
+    ]:
+        model = create_message_gnn_decoder(
+            plan, num_iterations=10, hidden_dim=128,
+            input_injection=True, multiloss=True,
+        )
+        tr = LDPCDecoderTrainer(model, plan, seed=0, encoder=enc)
+        tr.load_model(ckpt)
+        # v2: the v1 kernel's tighter scratch budget rejects h=128 at Z=4
+        fused = make_fused_gnn_decoder_v2(
+            qc, tr.params, num_iterations=10, hidden_dim=128,
+            input_injection=True,
+        )
+        decode = jax.jit(lambda llr: (fused(llr) > 0.5).astype(jnp.float32))
+        t0 = time.time()
+        r = mc_sweep(decode, plan, snr_range=snrs, batch_size=args.batch,
+                     num_trials=args.trials, encoder=enc, seed=911)
+        out["models"][tag] = {"ber": r["ber"], "fer": r["fer"]}
+        print(f"{tag}: " + "  ".join(
+            f"{s:+.0f}dB BER {b:.2e}" for s, b in zip(snrs, r["ber"])
+        ) + f"  ({time.time() - t0:.0f}s)", flush=True)
+
+    Path(args.out).write_text(json.dumps(out, indent=2))
+    print(f"wrote {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -113,14 +113,25 @@ def main() -> None:
         gnn_params = load_params(
             args.corrected_ckpt, gnn_model.init(jax.random.PRNGKey(0), dummy, plan)
         )
-        gnn = make_fused_corrected_gnn_decoder(
-            qc, gnn_params, num_iterations=T, hidden_dim=args.hidden,
-            input_injection=True, early_exit=args.early_exit,
-        )
-        tag = " early-exit" if args.early_exit else ""
-        decoders[f"Corrected GNN {T}it (trained){tag}"] = lambda llr: (
-            gnn(llr) > 0.5
-        ).astype(jnp.float32)
+        try:
+            gnn = make_fused_corrected_gnn_decoder(
+                qc, gnn_params, num_iterations=T, hidden_dim=args.hidden,
+                input_injection=True, early_exit=args.early_exit,
+            )
+            tag = " early-exit" if args.early_exit else ""
+            decoders[f"Corrected GNN {T}it (trained){tag}"] = lambda llr: (
+                gnn(llr) > 0.5
+            ).astype(jnp.float32)
+        except ValueError as e:
+            # Wide models (h=128 at Z=32) exceed the fused kernel's VMEM
+            # budget; fall back to the XLA module path (slower, same math).
+            print(f"# fused corrected kernel unavailable ({e}); XLA path",
+                  flush=True)
+            decoders[f"Corrected GNN {T}it (trained, XLA)"] = jax.jit(
+                lambda llr: (
+                    gnn_model.apply(gnn_params, llr, plan)[0] > 0.5
+                ).astype(jnp.float32)
+            )
 
     def make_chunk(decode):
         @jax.jit
