@@ -143,6 +143,9 @@ class MessageGNNDecoder(nn.Module):
     multiloss: bool = False  # BCE at every iteration's marginals (Nachmani
     # et al., arXiv:1607.04793 §IV): deep-unrolled training aid; decode
     # output (final-iteration marginals) is unchanged
+    remat: bool = False  # rematerialize each GNN layer's activations on the
+    # backward pass (jax.checkpoint): trades ~2x layer FLOPs for O(T) ->
+    # O(1) activation memory, enabling deep unrolls (T >= 20) at full batch
 
     @nn.compact
     def __call__(self, llr: Array, plan: QCPlan, ground_truth: Array | None = None):
@@ -156,17 +159,18 @@ class MessageGNNDecoder(nn.Module):
         collect = self.multiloss and ground_truth is not None
         per_iter_msgs: list = []  # per-iteration message LLRs (multiloss)
 
+        layer_cls = nn.remat(MessageGNNLayer) if self.remat else MessageGNNLayer
         if fully_neural:
             feats = input_embed(edge_llr[..., None]).astype(self.compute_dtype)  # (K, Z, B, h)
             llr_feats = feats if self.input_injection else None
             if self.share_layers:
-                shared = MessageGNNLayer(self.hidden_dim, self.num_message_types,
-                                         self.compute_dtype, name="gnn_layer")
+                shared = layer_cls(self.hidden_dim, self.num_message_types,
+                                   self.compute_dtype, name="gnn_layer")
                 layers = [shared] * self.num_iterations
             else:
                 layers = [
-                    MessageGNNLayer(self.hidden_dim, self.num_message_types,
-                                    self.compute_dtype, name=f"gnn_layer_{i}")
+                    layer_cls(self.hidden_dim, self.num_message_types,
+                              self.compute_dtype, name=f"gnn_layer_{i}")
                     for i in range(self.num_iterations)
                 ]
             # Zero-init projection: the untrained decoder outputs exactly the
@@ -227,10 +231,12 @@ class MessageGNNDecoder(nn.Module):
             else None
         )
 
+        layer_cls = nn.remat(MessageGNNLayer) if self.remat else MessageGNNLayer
+
         def sub(prefix: str, i: int):
             name = prefix if self.share_layers else f"{prefix}_{i}"
-            layer = MessageGNNLayer(self.hidden_dim, self.num_message_types,
-                                    self.compute_dtype, name=f"{name}_gnn")
+            layer = layer_cls(self.hidden_dim, self.num_message_types,
+                              self.compute_dtype, name=f"{name}_gnn")
             # Zero-init projections: neural half-updates start as no-ops, so
             # the untrained hybrid decoder is a channel pass-through (same
             # rationale as the fully-neural output projection).

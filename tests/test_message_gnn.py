@@ -104,6 +104,31 @@ class TestForward:
         leaves = jax.tree_util.tree_leaves(g)
         assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
 
+    @pytest.mark.parametrize("factory", [create_corrected_minsum_gnn_decoder,
+                                         create_message_gnn_decoder])
+    def test_remat_is_transparent(self, setup, factory):
+        """remat=True must not change the function: identical params tree,
+        bit-identical forward, matching gradients (the only difference is
+        backward-pass memory — jax.checkpoint recomputes activations)."""
+        _, _, _, H, plan = setup
+        n = H.shape[1]
+        llr = ch.bpsk_awgn_llr(jax.random.PRNGKey(0), jnp.zeros((4, n)), 1.0)
+        gt = jnp.zeros((4, n))
+        base = factory(plan, num_iterations=3, hidden_dim=8, multiloss=True)
+        rmt = factory(plan, num_iterations=3, hidden_dim=8, multiloss=True,
+                      remat=True)
+        params = base.init(jax.random.PRNGKey(1), llr, plan)
+        # same params tree: rmt can run base's params directly
+        soft0, loss0 = base.apply(params, llr, plan, gt)
+        soft1, loss1 = rmt.apply(params, llr, plan, gt)
+        assert bool((soft0 == soft1).all()) and bool((loss0 == loss1).all())
+        g0 = jax.grad(lambda p: base.apply(p, llr, plan, gt)[1].mean())(params)
+        g1 = jax.grad(lambda p: rmt.apply(p, llr, plan, gt)[1].mean())(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
     def test_type_embedding_count(self, setup):
         _, _, qc, H, plan = setup
         model = create_message_gnn_decoder(plan, num_iterations=1, hidden_dim=8)

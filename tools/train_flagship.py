@@ -22,7 +22,8 @@ import time
 from pathlib import Path
 
 
-def build_model(name: str, plan, iters: int, hidden: int, multiloss: bool = False):
+def build_model(name: str, plan, iters: int, hidden: int, multiloss: bool = False,
+                remat: bool = False):
     from ldpc_tpu.models.message_gnn import (
         create_corrected_minsum_gnn_decoder,
         create_message_gnn_decoder,
@@ -32,12 +33,12 @@ def build_model(name: str, plan, iters: int, hidden: int, multiloss: bool = Fals
     if name == "corrected":
         return create_corrected_minsum_gnn_decoder(
             plan, num_iterations=iters, hidden_dim=hidden, input_injection=True,
-            multiloss=multiloss,
+            multiloss=multiloss, remat=remat,
         )
     if name == "gnn":
         return create_message_gnn_decoder(
             plan, num_iterations=iters, hidden_dim=hidden, input_injection=True,
-            multiloss=multiloss,
+            multiloss=multiloss, remat=remat,
         )
     if name == "oms_per_iter":
         return NeuralMinSumDecoder(
@@ -55,6 +56,10 @@ def main() -> None:
     ap.add_argument("--Z", type=int, default=4)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--hidden", type=int, default=64)
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize GNN-layer activations on backward "
+                         "(jax.checkpoint): O(T) -> O(1) activation memory; "
+                         "required for deep unrolls (T >= 20) at full batch")
     ap.add_argument("--multiloss", action="store_true",
                     help="BCE at every iteration's marginals (deep-unrolled "
                          "training aid; decode output unchanged)")
@@ -107,7 +112,8 @@ def main() -> None:
     qc = qc_layout(bg, args.Z)
     plan = qc_msg.make_plan(qc)
     enc = encoder_from_H(expand_base_matrix(bg, args.Z))
-    model = build_model(args.model, plan, args.iters, args.hidden, args.multiloss)
+    model = build_model(args.model, plan, args.iters, args.hidden, args.multiloss,
+                        args.remat)
     trainer = LDPCDecoderTrainer(model, plan, seed=args.seed, encoder=enc)
 
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(trainer.params))
