@@ -143,9 +143,11 @@ class MessageGNNDecoder(nn.Module):
     multiloss: bool = False  # BCE at every iteration's marginals (Nachmani
     # et al., arXiv:1607.04793 §IV): deep-unrolled training aid; decode
     # output (final-iteration marginals) is unchanged
-    remat: bool = False  # rematerialize each GNN layer's activations on the
-    # backward pass (jax.checkpoint): trades ~2x layer FLOPs for O(T) ->
-    # O(1) activation memory, enabling deep unrolls (T >= 20) at full batch
+    remat: bool = False  # rematerialize each GNN layer on the backward pass
+    # (per-layer nn.remat): drops the intra-layer MLP intermediates, so
+    # activation memory scales with the T layer-boundary tensors only
+    # (~4x smaller than storing the MLP intermediates too), enabling deep
+    # unrolls (T >= 20) at full batch at ~2x layer FLOPs
 
     @nn.compact
     def __call__(self, llr: Array, plan: QCPlan, ground_truth: Array | None = None):

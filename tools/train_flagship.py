@@ -41,6 +41,11 @@ def build_model(name: str, plan, iters: int, hidden: int, multiloss: bool = Fals
             multiloss=multiloss, remat=remat,
         )
     if name == "oms_per_iter":
+        if remat:
+            raise SystemExit(
+                "--remat only applies to the GNN family (corrected/gnn); "
+                "the NeuralMinSumDecoder scan path does not support it"
+            )
         return NeuralMinSumDecoder(
             num_iterations=iters, depth_L=2, weight_sharing="edge",
             learnable_alpha=True, learnable_offset=True, per_iteration=True,
@@ -57,8 +62,9 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--hidden", type=int, default=64)
     ap.add_argument("--remat", action="store_true",
-                    help="rematerialize GNN-layer activations on backward "
-                         "(jax.checkpoint): O(T) -> O(1) activation memory; "
+                    help="rematerialize GNN layers on backward (per-layer "
+                         "nn.remat): drops intra-layer MLP activations; "
+                         "memory scales with the T layer boundaries only; "
                          "required for deep unrolls (T >= 20) at full batch")
     ap.add_argument("--multiloss", action="store_true",
                     help="BCE at every iteration's marginals (deep-unrolled "
@@ -84,6 +90,16 @@ def main() -> None:
                     help="warm-start params from a saved model .msgpack "
                          "(fresh optimizer state; used when only final "
                          "weights, not a full state checkpoint, exist)")
+    ap.add_argument("--grow-from", default=None,
+                    help="warm-start from a SHALLOWER model .msgpack of the "
+                         "same family: every parameter subtree whose name and "
+                         "shape match is copied (e.g. the T=10 flagship's "
+                         "per-iteration layers 0-9 into a T=20 model); the "
+                         "new layers keep their fresh zero-init correction "
+                         "projections, so the grown decoder starts as "
+                         "[flagship corrections for the first 10 iterations] "
+                         "+ [pure min-sum for the rest] — at or above "
+                         "flagship quality before any training")
     ap.add_argument("--tag", default=None, help="artifact name stem (default: model_code)")
     ap.add_argument("--out-dir", default="results")
     ap.add_argument("--ckpt-backend", default="msgpack", choices=["msgpack", "orbax"],
@@ -140,6 +156,33 @@ def main() -> None:
         trainer.load_model(args.init_from)
         print(f"warm-started params from {args.init_from} "
               f"(fresh optimizer, step 0)", flush=True)
+    elif args.grow_from:
+        import numpy as np
+        from flax import serialization as fser
+
+        payload = fser.msgpack_restore(Path(args.grow_from).read_bytes())
+        fresh = fser.to_state_dict(trainer.params)
+        stats = {"copied": 0, "kept_fresh": 0}
+
+        def merge(dst, src):
+            for k, v in src.items():
+                if k not in dst:
+                    continue
+                if isinstance(v, dict) and isinstance(dst[k], dict):
+                    merge(dst[k], v)
+                elif (np.shape(dst[k]) == np.shape(v)
+                      and not isinstance(dst[k], dict)):
+                    dst[k] = np.asarray(v)
+                    stats["copied"] += 1
+
+        def count(d):
+            return sum(count(v) if isinstance(v, dict) else 1 for v in d.values())
+
+        merge(fresh, payload["params"])
+        stats["kept_fresh"] = count(fresh) - stats["copied"]
+        trainer.params = fser.from_state_dict(trainer.params, fresh)
+        print(f"grown from {args.grow_from}: {stats['copied']} tensors copied, "
+              f"{stats['kept_fresh']} fresh (fresh optimizer, step 0)", flush=True)
 
     t0 = time.time()
     last = [trainer.step, t0]
