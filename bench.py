@@ -331,12 +331,47 @@ def section_corrected_z32() -> dict:
         lambda i: corr_pipe(jax.random.PRNGKey(i)), reps=5
     )
     bps = decode_throughput(GNN_BATCH, n32, dt, name="corrected_z32")
-    return {
+    out = {
         "corrected_z32_early_exit_bits_per_s": round(bps, 1),
         "corrected_z32_ckpt": ckpt.name,
         "corrected_z32_mean_iters": round(float(mean_iters), 2),
         "corrected_z32_timing": tstats,
     }
+
+    # Round-5 depth-grown flagship (T=20): serve it too when present, so the
+    # best quality configuration has a driver-captured throughput.
+    ckpt20 = Path("results/corrected20_gnn_nr_2_0_32.msgpack")
+    if ckpt20.exists():
+        m20 = create_corrected_minsum_gnn_decoder(
+            plan32, num_iterations=20, hidden_dim=64, input_injection=True
+        )
+        p20 = serialization.from_state_dict(
+            m20.init(jax.random.PRNGKey(0), jnp.zeros((2, n32)), plan32),
+            serialization.msgpack_restore(ckpt20.read_bytes())["params"],
+        )
+        corr20 = make_fused_corrected_gnn_decoder_v2(
+            qc32, p20, num_iterations=20, hidden_dim=64, early_exit=True,
+            return_iterations=True,
+        )
+
+        @jax.jit
+        def corr20_pipe(key):
+            llr = bpsk_awgn_llr(key, jnp.zeros((GNN_BATCH, n32)), 0.0)
+            soft, iters = corr20(llr)
+            return ((soft > 0.5).astype(jnp.float32).sum(),
+                    iters.astype(jnp.float32).mean())
+
+        dt20, (_, mi20), ts20 = _time_fn(
+            lambda i: corr20_pipe(jax.random.PRNGKey(i)), reps=5
+        )
+        out.update({
+            "corrected20_z32_early_exit_bits_per_s": round(
+                decode_throughput(GNN_BATCH, n32, dt20, name="corrected20_z32"), 1
+            ),
+            "corrected20_z32_mean_iters": round(float(mi20), 2),
+            "corrected20_z32_timing": ts20,
+        })
+    return out
 
 
 def section_z384() -> dict:

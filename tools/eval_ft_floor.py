@@ -21,7 +21,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--trials", type=int, default=500)
     ap.add_argument("--batch", type=int, default=1024)
-    ap.add_argument("--snrs", default="1,2,3,4")
+    ap.add_argument("--snrs", default="1,2,3,4,5,6")
     ap.add_argument("--out", default="results/gnn_h128t10_ft_floor.json")
     args = ap.parse_args()
 
@@ -53,10 +53,14 @@ def main() -> None:
         "snr_range": snrs,
         "models": {},
     }
-    for tag, ckpt in [
+    model_list = [
         ("h=128 T=10", "results/gnn_sweep_h128_t10.msgpack"),
         ("h=128 T=10 ft", "results/gnn_sweep_h128_t10_ft.msgpack"),
-    ]:
+        # round-5 wide-window fine-tune (SNR [-3, 6]; VERDICT r4 weak #6:
+        # the [-3, 4] window left a shallow residual upturn at +4 dB)
+        ("h=128 T=10 ft2 [-3,6]", "results/gnn_sweep_h128_t10_ft2.msgpack"),
+    ]
+    for tag, ckpt in [(t, c) for t, c in model_list if Path(c).exists()]:
         model = create_message_gnn_decoder(
             plan, num_iterations=10, hidden_dim=128,
             input_injection=True, multiloss=True,

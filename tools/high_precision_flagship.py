@@ -114,10 +114,18 @@ def main() -> None:
             args.corrected_ckpt, gnn_model.init(jax.random.PRNGKey(0), dummy, plan)
         )
         try:
-            gnn = make_fused_corrected_gnn_decoder(
-                qc, gnn_params, num_iterations=T, hidden_dim=args.hidden,
-                input_injection=True, early_exit=args.early_exit,
-            )
+            from ldpc_tpu.ops.pallas_gnn import make_fused_corrected_gnn_decoder_v2
+
+            try:  # v2: element-count-reduced serving kernel (bench default)
+                gnn = make_fused_corrected_gnn_decoder_v2(
+                    qc, gnn_params, num_iterations=T, hidden_dim=args.hidden,
+                    input_injection=True, early_exit=args.early_exit,
+                )
+            except ValueError:
+                gnn = make_fused_corrected_gnn_decoder(
+                    qc, gnn_params, num_iterations=T, hidden_dim=args.hidden,
+                    input_injection=True, early_exit=args.early_exit,
+                )
             tag = " early-exit" if args.early_exit else ""
             decoders[f"Corrected GNN {T}it (trained){tag}"] = lambda llr: (
                 gnn(llr) > 0.5
