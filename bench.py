@@ -340,8 +340,13 @@ def section_corrected_z32() -> dict:
 
     # Round-5 depth-grown flagship (T=20): serve it too when present, so the
     # best quality configuration has a driver-captured throughput.
-    ckpt20 = Path("results/corrected20_gnn_nr_2_0_32.msgpack")
-    if ckpt20.exists():
+    ckpt20 = next(
+        (Path(f"results/corrected20_gnn_nr_2_0_32{s}.msgpack")
+         for s in ("_ft", "")
+         if Path(f"results/corrected20_gnn_nr_2_0_32{s}.msgpack").exists()),
+        None,
+    )
+    if ckpt20 is not None:
         m20 = create_corrected_minsum_gnn_decoder(
             plan32, num_iterations=20, hidden_dim=64, input_injection=True
         )
@@ -368,6 +373,7 @@ def section_corrected_z32() -> dict:
             "corrected20_z32_early_exit_bits_per_s": round(
                 decode_throughput(GNN_BATCH, n32, dt20, name="corrected20_z32"), 1
             ),
+            "corrected20_z32_ckpt": ckpt20.name,
             "corrected20_z32_mean_iters": round(float(mi20), 2),
             "corrected20_z32_timing": ts20,
         })

@@ -20,6 +20,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--code", default="NR_2_0_4")
     ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--note", default=None,
+                    help="free-form provenance note recorded in the JSON")
     args = ap.parse_args()
 
     import torch
@@ -39,6 +41,8 @@ def main() -> None:
         ],
         "loss_last100": round(sum(losses[-100:]) / min(len(losses), 100), 6),
     }
+    if args.note:
+        out["note"] = args.note
     dest = Path(f"results/ref_gnn_progress_{args.code.lower()}.json")
     dest.write_text(json.dumps(out, indent=2))
     print(f"wrote {dest}: step {out['step']}, loss(100) {out['loss_last100']}")
