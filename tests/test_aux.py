@@ -265,3 +265,44 @@ def test_bench_time_fn_multiwindow_stats():
     assert len(stats["window_ms"]) == 5
     # the median must sit in the fast band, not on the slow window
     assert stats["ms_median"] < max(stats["window_ms"]) / 3
+
+
+def test_grow_merge_copies_matching_subtrees_only():
+    """tools/train_flagship.grow_merge (round-5 depth growth): leaves whose
+    path+shape match the shallower donor are copied; deeper-model-only
+    leaves (the new iteration layers) keep their fresh zero-init values;
+    shape mismatches are left alone rather than silently broadcast."""
+    import importlib.util
+    import sys
+    from pathlib import Path
+
+    import numpy as np
+
+    spec = importlib.util.spec_from_file_location(
+        "train_flagship",
+        Path(__file__).resolve().parent.parent / "tools" / "train_flagship.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["train_flagship"] = mod
+    spec.loader.exec_module(mod)
+
+    donor = {
+        "layers_0": {"w": np.full((3, 2), 7.0), "b": np.ones((2,))},
+        "alpha": np.asarray(0.8),
+        "mismatched": np.zeros((4,)),
+    }
+    grown = {
+        "layers_0": {"w": np.zeros((3, 2)), "b": np.zeros((2,))},
+        "layers_1": {"w": np.zeros((3, 2)), "b": np.zeros((2,))},
+        "alpha": np.asarray(0.0),
+        "mismatched": np.ones((5,)),
+    }
+    stats = mod.grow_merge(grown, donor)
+    assert stats == {"copied": 3, "kept_fresh": 3}
+    np.testing.assert_array_equal(grown["layers_0"]["w"], donor["layers_0"]["w"])
+    np.testing.assert_array_equal(grown["layers_0"]["b"], donor["layers_0"]["b"])
+    assert float(grown["alpha"]) == 0.8
+    # new layers untouched (zero-init = pure min-sum continuation)
+    assert not grown["layers_1"]["w"].any()
+    # shape mismatch: fresh value kept, not crashed or broadcast
+    assert grown["mismatched"].shape == (5,) and grown["mismatched"].all()

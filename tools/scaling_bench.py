@@ -103,21 +103,36 @@ def main() -> None:
         def make_llr(key):
             return bpsk_awgn_llr(key, jnp.zeros((B, n)), 3.0)
 
+        # Every timed fn returns SCALARS: the sync-by-value-fetch the tunnel
+        # requires must not pull the (B, n) LLR tensor to the host (hundreds
+        # of MB inside the timing window).
+        channel_probe = jax.jit(
+            lambda key: bpsk_awgn_llr(key, jnp.zeros((B, n)), 3.0).sum()
+        )
         decode_sum = jax.jit(lambda llr: decode(llr).sum())
 
-        def timed(fn, *a):
-            out = fn(*a)
+        def timed(fn, inputs):
+            """Mean seconds/call over distinct per-rep inputs (identical
+            dispatches can be elided through the tunnel)."""
+            out = fn(inputs[0])
             _ = [float(x) for x in jax.tree_util.tree_leaves(out)]  # warm+sync
             t0 = time.time()
-            outs = [fn(*a) for _ in range(args.reps)]
+            outs = [fn(x) for x in inputs]
             _ = [float(x) for x in jax.tree_util.tree_leaves(outs[-1])]
-            return (time.time() - t0) / args.reps
+            return (time.time() - t0) / len(inputs)
 
         with mesh:
-            llr = make_llr(jax.random.PRNGKey(0))
-            dt_decode = timed(decode_sum, llr)
-            dt_channel = timed(make_llr, jax.random.PRNGKey(1))
-            dt_full = timed(trial, jax.random.PRNGKey(2), jnp.float32(3.0))
+            llrs = [make_llr(jax.random.PRNGKey(i)) for i in range(args.reps)]
+            _ = [x.block_until_ready() for x in llrs]
+            dt_decode = timed(decode_sum, llrs)
+            dt_channel = timed(
+                channel_probe,
+                [jax.random.PRNGKey(100 + i) for i in range(args.reps)],
+            )
+            dt_full = timed(
+                lambda key: trial(key, jnp.float32(3.0)),
+                [jax.random.PRNGKey(200 + i) for i in range(args.reps)],
+            )
         bps = B * n / dt_decode
         full_bps = B * n / dt_full
         if base is None:

@@ -54,6 +54,38 @@ def build_model(name: str, plan, iters: int, hidden: int, multiloss: bool = Fals
     raise SystemExit(f"unknown --model {name!r}")
 
 
+def grow_merge(dst: dict, src: dict) -> dict:
+    """Copy every leaf of ``src`` into ``dst`` whose path and shape match.
+
+    In-place on ``dst`` (a flax state dict of the DEEPER model). Leaves
+    only in ``dst`` — e.g. the extra per-iteration layers of a grown
+    T=20 model — keep their fresh (zero-init) values, so the grown
+    decoder starts as [donor corrections] + [pure min-sum] and is at or
+    above donor quality before any training. Returns copy statistics.
+    """
+    import numpy as np
+
+    stats = {"copied": 0, "kept_fresh": 0}
+
+    def merge(dst, src):
+        for k, v in src.items():
+            if k not in dst:
+                continue
+            if isinstance(v, dict) and isinstance(dst[k], dict):
+                merge(dst[k], v)
+            elif (np.shape(dst[k]) == np.shape(v)
+                  and not isinstance(dst[k], dict)):
+                dst[k] = np.asarray(v)
+                stats["copied"] += 1
+
+    def count(d):
+        return sum(count(v) if isinstance(v, dict) else 1 for v in d.values())
+
+    merge(dst, src)
+    stats["kept_fresh"] = count(dst) - stats["copied"]
+    return stats
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="corrected")
@@ -157,29 +189,11 @@ def main() -> None:
         print(f"warm-started params from {args.init_from} "
               f"(fresh optimizer, step 0)", flush=True)
     elif args.grow_from:
-        import numpy as np
         from flax import serialization as fser
 
         payload = fser.msgpack_restore(Path(args.grow_from).read_bytes())
         fresh = fser.to_state_dict(trainer.params)
-        stats = {"copied": 0, "kept_fresh": 0}
-
-        def merge(dst, src):
-            for k, v in src.items():
-                if k not in dst:
-                    continue
-                if isinstance(v, dict) and isinstance(dst[k], dict):
-                    merge(dst[k], v)
-                elif (np.shape(dst[k]) == np.shape(v)
-                      and not isinstance(dst[k], dict)):
-                    dst[k] = np.asarray(v)
-                    stats["copied"] += 1
-
-        def count(d):
-            return sum(count(v) if isinstance(v, dict) else 1 for v in d.values())
-
-        merge(fresh, payload["params"])
-        stats["kept_fresh"] = count(fresh) - stats["copied"]
+        stats = grow_merge(fresh, payload["params"])
         trainer.params = fser.from_state_dict(trainer.params, fresh)
         print(f"grown from {args.grow_from}: {stats['copied']} tensors copied, "
               f"{stats['kept_fresh']} fresh (fresh optimizer, step 0)", flush=True)
